@@ -1,0 +1,64 @@
+"""Engine-wide constants and SparkSession helpers.
+
+Detector constants mirror the reference defaults
+(`/root/reference/src/main/java/com/cybozu/labs/langdetect/Detector.java:70-90`).
+"""
+
+from __future__ import annotations
+
+import os
+
+ALPHA_DEFAULT = 0.5          # Detector.java:70
+ALPHA_WIDTH = 0.05           # Detector.java:71
+ITERATION_LIMIT = 1000       # Detector.java:73
+PROB_THRESHOLD = 0.1         # Detector.java:74
+CONV_THRESHOLD = 0.99999     # Detector.java:75
+BASE_FREQ = 10000            # Detector.java:76
+UNKNOWN_LANG = "unknown"     # Detector.java:77
+N_TRIAL_DEFAULT = 7          # Detector.java:89
+MAX_TEXT_LENGTH = 10000      # Detector.java:90
+N_GRAM = 3                   # util/NGram.java:16
+
+# LangProfile trim constants (util/LangProfile.java:28-29)
+MINIMUM_FREQ = 2
+LESS_FREQ_RATIO = 100000
+
+# Default location of reference-format JSON language profiles.  The loader
+# accepts any directory of shuyo-format profile JSON files; in this sandbox
+# the reference's bundled 53 profiles are used when present.
+DEFAULT_PROFILE_DIR = os.environ.get(
+    "LANGDETECT_PROFILE_DIR", "/root/reference/profiles"
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "language-detection-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None, **extra):
+    """Build a local SparkSession tuned for this engine.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all cores.  Arrow is enabled
+    (all per-row compute rides Arrow-vectorized pandas UDFs), AQE is on so
+    runtime stats can re-plan shuffles/skew at scale.
+    """
+    from pyspark.sql import SparkSession
+
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra.items():
+        b = b.config(k, v)
+    return b.getOrCreate()

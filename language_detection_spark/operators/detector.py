@@ -1,0 +1,256 @@
+"""Language detection — the reference's random-feature-sampling naive-Bayes
+detector, in two forms with the same semantics:
+
+* :class:`Detector` — faithful per-document implementation mirroring the
+  reference API and draw sequence (Detector.java:214-227 append,
+  :233-261 _cleaningText, :301-335 _detectBlock, :343-357 _initProbability,
+  :364-379 _extractNGrams, :387-402 _updateLangProb, :423-436 _normalizeProb,
+  :443-462 _sortProbability).  Uses the ``java.util.Random`` replica, so a
+  seeded run follows the reference's exact sampling order
+  (DetectorFactory.setSeed, DetectorFactory.java:210-213).
+
+* :func:`detect_batch` — the vectorized scale path.  Identical math in log
+  space: per trial t, alpha_t = alpha + N(0,1)*0.05; iterate
+  logp += log(alpha_t/10000 + P[gram_r]); every 5th iteration check
+  softmax-max > 0.99999 (or the 1000-iteration cap); average the per-trial
+  posteriors.  Draws come from a per-document counter-based Philox stream
+  (deterministic given the document's seed), and the inner loop is chunked
+  numpy: sample a block of draws, gather log-weight rows, cumsum, evaluate
+  all checkpoints in the block at once, stop at the first converged one.
+  No per-row Python in the hot loop beyond the per-document dispatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import (
+    ALPHA_DEFAULT,
+    ALPHA_WIDTH,
+    BASE_FREQ,
+    CONV_THRESHOLD,
+    ITERATION_LIMIT,
+    MAX_TEXT_LENGTH,
+    N_TRIAL_DEFAULT,
+    PROB_THRESHOLD,
+    UNKNOWN_LANG,
+)
+from ..functions.javarandom import JavaRandom
+from ..functions.ngram import extract_gram_keys, extract_ngrams_scanner, pack_gram
+from ..functions.normalize import prepare_text, purge_latin_if_minor
+from ..models.factory import DetectorModel
+
+_CHUNK = 250  # sampling iterations per numpy block (50 checkpoints)
+
+
+class CantDetectError(ValueError):
+    """No usable features in text (ELangDetectErrorCode.CantDetectError)."""
+
+
+class Detector:
+    """Faithful per-document detector (reference API shape)."""
+
+    def __init__(self, model: DetectorModel, seed: int | None = None) -> None:
+        self.model = model
+        self.seed = seed
+        self.text = ""
+        self.alpha = ALPHA_DEFAULT
+        self.n_trial = N_TRIAL_DEFAULT
+        self.max_text_length = MAX_TEXT_LENGTH
+        self.prior: np.ndarray | None = None
+        self._lang_prob: np.ndarray | None = None
+
+    def set_alpha(self, alpha: float) -> None:
+        self.alpha = alpha
+
+    def set_trials(self, n: int) -> None:
+        self.n_trial = n
+
+    def set_max_text_length(self, n: int) -> None:
+        self.max_text_length = n
+
+    def set_prior_map(self, prior: dict[str, float]) -> None:
+        p = np.zeros(len(self.model.langs))
+        for i, lang in enumerate(self.model.langs):
+            v = prior.get(lang)
+            if v is not None:
+                if v < 0:
+                    raise ValueError("Prior probability must be non-negative.")
+                p[i] = v
+        if p.sum() <= 0:
+            raise ValueError("More one of prior probability must be non-zero.")
+        self.prior = p / p.sum()
+
+    def append(self, text: str) -> None:
+        self.text += prepare_text(text, self.max_text_length)
+
+    def detect(self) -> str:
+        probs = self.get_probabilities()
+        return probs[0][0] if probs else UNKNOWN_LANG
+
+    def get_probabilities(self) -> list[tuple[str, float]]:
+        if self._lang_prob is None:
+            self._lang_prob = self._detect_block()
+        return sort_probability(self.model.langs, self._lang_prob)
+
+    def _detect_block(self) -> np.ndarray:
+        text = purge_latin_if_minor(self.text)
+        grams = extract_ngrams_scanner(text)
+        rows = [r for r in (self._row(g) for g in grams) if r >= 0]
+        if not rows:
+            raise CantDetectError("no features in text")
+        n_langs = len(self.model.langs)
+        lang_prob = np.zeros(n_langs)
+        rng = JavaRandom(self.seed)
+        for _ in range(self.n_trial):
+            prob = (
+                self.prior.copy()
+                if self.prior is not None
+                else np.full(n_langs, 1.0 / n_langs)
+            )
+            alpha = self.alpha + rng.next_gaussian() * ALPHA_WIDTH
+            weight = alpha / BASE_FREQ
+            i = 0
+            while True:
+                r = rows[rng.next_int(len(rows))]
+                prob *= weight + self.model.probs[r]
+                if i % 5 == 0:
+                    s = prob.sum()
+                    prob /= s
+                    if prob.max() > CONV_THRESHOLD or i >= ITERATION_LIMIT:
+                        break
+                i += 1
+            lang_prob += prob / self.n_trial
+        return lang_prob
+
+    def _row(self, gram: str) -> int:
+        k = np.array([pack_gram(gram)], dtype=np.int64)
+        return int(self.model.lookup_rows(k)[0])
+
+
+def sort_probability(langs, prob: np.ndarray) -> list[tuple[str, float]]:
+    """Threshold at PROB_THRESHOLD, sort descending, stable on ties
+    (Detector._sortProbability)."""
+    order = np.argsort(-prob, kind="stable")
+    return [
+        (langs[int(j)], float(prob[j])) for j in order if prob[j] > PROB_THRESHOLD
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch path
+# ---------------------------------------------------------------------------
+
+
+def _detect_one(
+    model: DetectorModel,
+    prepared_text: str,
+    rng: np.random.Generator,
+    alpha: float,
+    n_trial: int,
+    prior_log: np.ndarray | None,
+) -> np.ndarray | None:
+    text = purge_latin_if_minor(prepared_text)
+    keys = extract_gram_keys(text)
+    if keys.size == 0:
+        return None
+    rows = model.lookup_rows(keys)
+    rows = rows[rows >= 0]
+    if rows.size == 0:
+        return None
+    ur, inv = np.unique(rows, return_inverse=True)
+    P = model.probs[ur]  # (u, L)
+    n_langs = P.shape[1]
+    base_log = (
+        prior_log
+        if prior_log is not None
+        else np.full(n_langs, -np.log(n_langs))
+    )
+    alphas = alpha + rng.standard_normal(n_trial) * ALPHA_WIDTH
+    avg = np.zeros(n_langs)
+    m = rows.size
+    for t in range(n_trial):
+        with np.errstate(divide="ignore"):
+            W = np.log(alphas[t] / BASE_FREQ + P)  # (u, L)
+        logp = base_log.copy()
+        i = 0
+        while True:
+            n_draw = min(_CHUNK, ITERATION_LIMIT + 1 - i)
+            draws = rng.integers(0, m, size=n_draw)
+            cs = np.cumsum(W[inv[draws]], axis=0)  # (n_draw, L)
+            first_cp = -(-i // 5) * 5  # first multiple of 5 >= i
+            rel = np.arange(first_cp - i, n_draw, 5)
+            ck = logp[None, :] + cs[rel]  # (k, L) checkpoint log-posteriors
+            mx = ck.max(axis=1, keepdims=True)
+            e = np.exp(ck - mx)
+            maxp = e.max(axis=1) / e.sum(axis=1)
+            abs_iters = i + rel
+            hit = np.flatnonzero(
+                (maxp > CONV_THRESHOLD) | (abs_iters >= ITERATION_LIMIT)
+            )
+            if hit.size:
+                j = int(hit[0])
+                logp = ck[j]
+                break
+            logp = logp + cs[-1]
+            i += n_draw
+        p = np.exp(logp - logp.max())
+        avg += (p / p.sum()) / n_trial
+    return avg
+
+
+def doc_seed(doc_key: str, salt: int = 0) -> int:
+    """Stable per-document RNG seed from a document key (e.g. url)."""
+    import zlib
+
+    return (zlib.crc32(doc_key.encode("utf-8")) ^ salt) & 0xFFFFFFFF
+
+
+def detect_batch(
+    model: DetectorModel,
+    texts,
+    seeds,
+    alpha: float = ALPHA_DEFAULT,
+    n_trial: int = N_TRIAL_DEFAULT,
+    max_text_length: int = MAX_TEXT_LENGTH,
+    prior: np.ndarray | None = None,
+) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """Detect a batch of raw texts.
+
+    Returns (langs, confs, posteriors) where ``langs[i]`` is the top-1
+    language ("unknown" when the text has no known features),
+    ``confs[i]`` its posterior probability, and ``posteriors`` the full
+    (n_docs, n_langs) averaged posterior matrix.
+    """
+    n_langs = len(model.langs)
+    prior_log = None
+    if prior is not None:
+        with np.errstate(divide="ignore"):
+            prior_log = np.log(prior)
+    out_langs: list[str] = []
+    confs = np.zeros(len(texts))
+    post = np.zeros((len(texts), n_langs))
+    for i, (text, seed) in enumerate(zip(texts, seeds)):
+        if text is None:
+            out_langs.append(UNKNOWN_LANG)
+            continue
+        rng = np.random.Generator(np.random.Philox(key=int(seed)))
+        p = _detect_one(
+            model,
+            prepare_text(text, max_text_length),
+            rng,
+            alpha,
+            n_trial,
+            prior_log,
+        )
+        if p is None:
+            out_langs.append(UNKNOWN_LANG)
+            continue
+        post[i] = p
+        top = int(np.argmax(p))
+        if p[top] > PROB_THRESHOLD:
+            out_langs.append(model.langs[top])
+            confs[i] = p[top]
+        else:
+            out_langs.append(UNKNOWN_LANG)
+    return out_langs, confs, post
