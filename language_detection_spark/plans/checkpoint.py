@@ -1,0 +1,76 @@
+"""Checkpoint/resume orchestration (Q8 in SURVEY.md §2.7).
+
+Unit of commit = url-hash bucket (plans/repartition.bucket_col).  A bucket
+is *committed* iff an audit row for it exists; data for uncommitted buckets
+may be partial and is rewritten on resume (dynamic partition overwrite →
+idempotent under partial failure).  Protocol per chunk of buckets:
+
+  1. write annotated rows → ``<out>/data/bucket=k/`` (dynamic overwrite)
+  2. re-read the written chunk (narrow columns), aggregate audit metrics
+  3. append audit rows → ``<out>/audit/``   ← the commit point
+
+Resume = read the audit table, skip its buckets.  This is the sandbox
+stand-in for Iceberg snapshot commits: the audit append is the atomic
+marker, data writes are idempotent.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .audit import audit_aggregation
+
+
+def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    try:
+        audit = spark.read.parquet(f"{out_dir}/audit")
+    except Exception:
+        return set()
+    return {r.bucket for r in audit.select("bucket").distinct().collect()}
+
+
+def run_checkpointed(
+    annotated: DataFrame,
+    out_dir: str,
+    n_buckets: int,
+    chunk_size: int = 64,
+    run_id: str | None = None,
+    fail_after_chunks: int | None = None,
+) -> dict:
+    """Process all not-yet-committed buckets in chunks.
+
+    ``fail_after_chunks`` injects a crash after N committed chunks (tests
+    exercise the resume path with it).  Returns a summary dict.
+    """
+    spark = annotated.sparkSession
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done = committed_buckets(spark, out_dir)
+    todo = [b for b in range(n_buckets) if b not in done]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    chunks = [todo[i : i + chunk_size] for i in range(0, len(todo), chunk_size)]
+    n_done = 0
+    for ci, chunk in enumerate(chunks):
+        part = annotated.filter(F.col("bucket").isin(chunk))
+        (
+            part.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/data")
+        )
+        written = spark.read.parquet(f"{out_dir}/data").filter(
+            F.col("bucket").isin(chunk)
+        )
+        audit = audit_aggregation(written, run_id)
+        audit.write.mode("append").parquet(f"{out_dir}/audit")
+        n_done += 1
+        if fail_after_chunks is not None and n_done >= fail_after_chunks:
+            raise RuntimeError(f"injected failure after {n_done} chunks")
+    return {
+        "run_id": run_id,
+        "buckets_total": n_buckets,
+        "buckets_previously_committed": len(done),
+        "buckets_committed_now": sum(len(c) for c in chunks),
+    }

@@ -1,0 +1,215 @@
+"""DataFrame-level end-to-end tests: pages synthesis, extraction invariant,
+quality pipeline, audit + checkpoint/resume, trainer, eval aggregations
+(SURVEY.md §5 test plan items 3-5)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from language_detection_spark.models.trainer import (
+    gram_counts,
+    train_model,
+    train_profiles,
+)
+from language_detection_spark.models.profile import LangProfile
+from language_detection_spark.operators.eval import (
+    confusion_counts,
+    overall_accuracy,
+    per_language_accuracy,
+)
+from language_detection_spark.operators.pipeline import (
+    PipelineOptions,
+    QualityFilterPipeline,
+)
+from language_detection_spark.operators.quality import QualityConfig
+from language_detection_spark.plans.checkpoint import (
+    committed_buckets,
+    run_checkpointed,
+)
+from language_detection_spark.sources.pages import (
+    extract_text,
+    render_html,
+    synth_pages_df,
+)
+
+
+def test_extract_text_goldens():
+    # frozen extractor semantics — any change here is a format break
+    assert extract_text("<p>Hello <b>world</b></p>") == "Hello world"
+    assert extract_text("<script>var x = '<p>';</script>after") == "after"
+    assert (
+        extract_text("a<style type='text/css'>p { color: red }</style>b") == "a b"
+    )
+    assert extract_text("<!-- c -->x &amp; y &lt;z&gt;") == "x & y <z>"
+    assert extract_text("  a\n\n\tb  ") == "a b"
+    assert extract_text(None) == ""
+    assert extract_text("<p>héllo</p>".encode()) == "héllo"
+
+
+def test_render_extract_roundtrip():
+    html = render_html(7, "Some article text & more.")
+    got = extract_text(html)
+    assert "Some article text & more." in got
+    assert "Home About" in got  # nav boilerplate survives extraction
+    assert "var page_id" not in got  # script stripped
+    assert "margin" not in got  # style stripped
+
+
+def test_synth_pages(spark, sf_dir):
+    pages = synth_pages_df(spark, sf_dir)
+    rows = pages.collect()
+    assert len(rows) > 0
+    r = rows[0]
+    assert r.url.startswith("https://example.org/")
+    assert isinstance(r.html, (bytes, bytearray))
+    # the table invariant: text == extract_text(html), byte-identical
+    for row in rows[:20]:
+        assert extract_text(row.html) == row.text
+
+
+@pytest.fixture(scope="module")
+def multilingual_pages(spark):
+    data = []
+    texts = {
+        "en": "the cat and the dog have a long history of friendship and that is that. "
+        "we have to be honest about the data and the facts of the matter with care. ",
+        "fr": "le chat et le chien sont amis depuis longtemps et c'est la vérité vraie. "
+        "il faut être honnête avec les données et les faits de cette affaire. ",
+        "de": "die katze und der hund sind seit langem freunde und das ist die wahrheit. "
+        "wir müssen ehrlich mit den daten und den fakten dieser sache umgehen. ",
+    }
+    for i in range(60):
+        lang = ["en", "fr", "de"][i % 3]
+        body = texts[lang] * 6  # ≥ 50 words
+        if i % 10 == 9:
+            body = "short text"  # violates min_words
+        if i % 10 == 5:
+            body += " contact me at john.doe@example.com or 192.168.0.1 please"
+        data.append((f"https://site{i % 7}.example/{i}", i, body, lang))
+    pdf = pd.DataFrame(data, columns=["url", "secs", "text", "lang"])
+    df = spark.createDataFrame(pdf).select(
+        "url",
+        (F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("secs"))).alias(
+            "warc_ts"
+        ),
+        "text",
+        "lang",
+    )
+    return df
+
+
+def test_pipeline_annotate_and_filter(spark, tiny_model, multilingual_pages):
+    cfg = QualityConfig(
+        lang_allow=("en", "fr", "de"),
+        lang_conf_min=0.5,
+        min_words=50,
+        min_stopword_hits=0,
+        alpha_word_frac_min=0.5,
+        mean_word_len_min=2.0,
+    )
+    pipe = QualityFilterPipeline(
+        spark, tiny_model, cfg, PipelineOptions(n_buckets=8, repartition=8)
+    )
+    ann = pipe.annotate(multilingual_pages).cache()
+    rows = {r.url: r for r in ann.collect()}
+    # language detection matches source labels on the clean long docs
+    correct = sum(
+        1 for r in rows.values() if r.stat_n_words >= 50 and r.lang == r.lang_src
+    )
+    long_docs = sum(1 for r in rows.values() if r.stat_n_words >= 50)
+    assert correct / long_docs >= 0.95
+    # short docs violate min_words and are dropped
+    for r in rows.values():
+        if r.stat_n_words < 50:
+            assert r.rule_too_few_words and not r.keep
+    # PII scrubbed
+    pii = [r for r in rows.values() if "@" in (r.text or "")]
+    assert pii
+    for r in pii:
+        assert "<EMAIL>" in r.scrubbed_text
+        assert "@" not in r.scrubbed_text
+        assert "<IP>" in r.scrubbed_text
+    out = pipe.run(multilingual_pages)
+    assert 0 < out.count() < multilingual_pages.count()
+    assert set(out.columns) == {
+        "url", "warc_ts", "lang", "lang_conf", "ppl", "scrubbed_text"
+    }
+    ann.unpersist()
+
+
+def test_checkpoint_resume(spark, tiny_model, multilingual_pages, tmp_path):
+    cfg = QualityConfig(lang_allow=("en", "fr", "de"), min_words=10,
+                        min_stopword_hits=0, alpha_word_frac_min=0.5,
+                        mean_word_len_min=2.0)
+    opts = PipelineOptions(n_buckets=8)
+    pipe = QualityFilterPipeline(spark, tiny_model, cfg, opts)
+    ann = pipe.annotate(multilingual_pages)
+    out = str(tmp_path / "out")
+    # crash after 2 chunks of 2 buckets
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(ann, out, n_buckets=8, chunk_size=2, fail_after_chunks=2)
+    done = committed_buckets(spark, out)
+    assert len(done) == 4
+    # resume completes the rest; no duplicates afterwards
+    summary = run_checkpointed(ann, out, n_buckets=8, chunk_size=2)
+    assert summary["buckets_previously_committed"] == 4
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == multilingual_pages.count()
+    assert data.select("url").distinct().count() == multilingual_pages.count()
+    audit = spark.read.parquet(f"{out}/audit")
+    committed = {r.bucket for r in audit.collect()}
+    assert committed == set(range(8))
+    # audit totals reconcile with data
+    tot = audit.agg(F.sum("rows_in"), F.sum("rows_kept")).first()
+    assert tot[0] == data.count()
+    assert tot[1] == data.filter(F.col("keep")).count()
+
+
+def test_trainer_matches_local_update(spark):
+    texts = [
+        "the quick brown fox",
+        "jumps over the lazy dog",
+        "pack my box with five dozen jugs",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts, "lang": ["xx"] * 3}))
+    profiles = train_profiles(spark, df, trim=False)
+    assert len(profiles) == 1
+    got = profiles[0]
+    want = LangProfile("xx")
+    for t in texts:
+        want.update(t)
+    assert got.freq == want.freq
+    assert got.n_words == want.n_words
+
+
+def test_train_detect_roundtrip(spark, multilingual_pages):
+    model = train_model(spark, multilingual_pages.filter(F.length("text") > 100))
+    assert sorted(model.langs) == ["de", "en", "fr"]
+    from language_detection_spark.operators.detector import detect_batch
+
+    texts = [
+        "the dog and the cat have the data",
+        "le chien et le chat sont amis",
+        "die katze und der hund sind freunde",
+    ]
+    langs, _, _ = detect_batch(model, texts, seeds=[1, 2, 3])
+    assert langs == ["en", "fr", "de"]
+
+
+def test_eval_aggregations(spark):
+    pdf = pd.DataFrame(
+        {
+            "lang": ["en", "en", "en", "fr", "fr", "de"],
+            "pred": ["en", "en", "fr", "fr", "fr", "en"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cc = {(r.lang, r.pred): r.n for r in confusion_counts(df).collect()}
+    assert cc == {("en", "en"): 2, ("en", "fr"): 1, ("fr", "fr"): 2, ("de", "en"): 1}
+    acc = {r.lang: r.accuracy for r in per_language_accuracy(df).collect()}
+    assert acc["en"] == pytest.approx(2 / 3)
+    assert acc["fr"] == 1.0
+    assert acc["de"] == 0.0
+    overall = overall_accuracy(df).first()
+    assert overall.n_docs == 6
+    assert overall.accuracy == pytest.approx(4 / 6)
