@@ -1,0 +1,271 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference analogue (the reference is a classifier library); semantics
+follow the published near-dup literature (Broder 1997 MinHash/shingling;
+Charikar 2002 SimHash; Lee et al. 2022 "Deduplicating Training Data Makes
+Language Models Better") expressed Spark-first:
+
+* exact_dedup      — hash-groupBy on md5(text): one partial+final agg.
+* minhash_signatures / lsh_candidate_pairs / minhash_dedup_pairs —
+  shingle → P permuted min-hashes → band buckets → bucket join →
+  exact-Jaccard verification.  All hashing is md5-prefix-int so an
+  independent SQL engine (the DuckDB oracle) reproduces values bit-for-bit.
+  Scale shape: candidate generation is a self-join on (band, band_hash) —
+  bounded buckets, no O(n²); verification joins shingle sets only for
+  candidate pairs.
+* simhash64 — 64-bit sign-aggregated token fingerprint (Arrow-batched
+  numpy UDF; Hamming-ball grouping for near-dup).
+* ngram_jaccard_pairs — exact word-n-gram Jaccard for candidate pairs.
+
+All operators key documents by an id column and never collect to the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+# --- shared hashing (cross-engine reproducible) ----------------------------
+
+
+def md5_int(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — identical in DuckDB
+    via ('0x'||substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Whitespace-word k-shingles as strings; empty array when < k words."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each identical text."""
+    h = md5_int(F.col(text_col)).alias("text_hash")
+    ranked = df.withColumn("text_hash", h).withColumn(
+        "_keep_id", F.min(id_col).over(Window.partitionBy("text_hash")),
+    )
+    return ranked.filter(F.col(id_col) == F.col("_keep_id")).drop("_keep_id")
+
+
+def exact_dup_clusters(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_dups, keep_id) for every duplicated text."""
+    return (
+        df.groupBy(md5_int(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) — min over shingles of
+    md5_int(p || ':' || shingle) per permutation p.  Docs with no shingles
+    are dropped (cannot be near-dup candidates)."""
+    sh = word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    base = df.select(F.col(id_col).alias("id"), sh).filter(F.size("shingles") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, p=p: md5_int(F.concat(F.lit(f"{p}:"), s)),
+                )
+            )
+            for p in range(num_perm)
+        ]
+    ).alias("sig")
+    return base.select("id", sig)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band_hash) → (id_a, id_b)
+    candidate pairs (id_a < id_b), deduplicated across bands."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification join)."""
+    sets_df = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sset"),
+    )
+    out = (
+        pairs.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
+        .join(sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn("n_union", F.size(F.array_union("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("n_union") > 0, F.col("n_inter") / F.col("n_union")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
+    verify → pairs ≥ threshold."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    verified = jaccard_for_pairs(cand, df, text_col, id_col, shingle_k)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_SIMHASH_BITS = 60  # md5_int supplies 60 bits
+
+
+def simhash_udf():
+    """text → 60-bit SimHash (Arrow-batched; numpy bit-matrix inner loop)."""
+    import hashlib
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            tokens = t.split()
+            if not tokens:
+                continue
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    for w in tokens
+                ),
+                dtype=np.int64,
+                count=len(tokens),
+            )
+            bits = (hs[:, None] >> np.arange(_SIMHASH_BITS)) & 1  # (n, 60)
+            score = (2 * bits - 1).sum(axis=0)
+            out[i] = int(((score > 0).astype(np.int64) << np.arange(_SIMHASH_BITS)).sum())
+        return pd.Series(out)
+
+    return _simhash
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, n_tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``n_tables`` disjoint 15-bit
+    chunks (a pair within Hamming distance 3 shares at least one of 4
+    chunks), verify Hamming distance exactly via bit_count(xor)."""
+    chunk = _SIMHASH_BITS // n_tables
+    h = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh"))
+    blocked = h.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.shiftrightunsigned(F.col("sh"), t * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("blk"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.tbl", "bb.blk")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,167 @@
+"""Tests for dedup, similarity, text-analysis and multimodal operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from language_detection_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_clusters,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash_near_dup_pairs,
+)
+from language_detection_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    resize_image,
+    synth_media_df,
+)
+from language_detection_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from language_detection_spark.operators.text_analysis import (
+    bpe_token_count,
+    fingerprint,
+    quality_score,
+    stopword_langid,
+    whitespace_token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different content about distributed query engines at scale"
+    rows = [
+        (0, base), (1, base), (2, near), (3, other), (4, other), (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    kept = exact_dedup(dup_docs)
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {0, 2, 3, 5}
+    clusters = {r.keep_id: r.n_dups for r in exact_dup_clusters(dup_docs).collect()}
+    assert clusters == {0: 2, 3: 2}
+
+
+def test_minhash_pipeline(spark, dup_docs):
+    sigs = minhash_signatures(dup_docs, num_perm=16)
+    srows = {r.id: r.sig for r in sigs.collect()}
+    assert 5 not in srows  # too short for shingles
+    assert srows[0] == srows[1]  # identical docs → identical signatures
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_dedup_pairs(dup_docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert pairs[(3, 4)] == 1.0
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_simhash_near_dup(spark, dup_docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_near_dup_pairs(dup_docs, max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(3, 4)] == 0
+    assert (0, 2) in pairs  # near-dup within hamming 6
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+@pytest.fixture(scope="module")
+def emb_tables(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((40, 8))
+    vecs[1] = vecs[0] * 2.0          # same direction as 0
+    vecs[7] = vecs[0] + 0.01 * rng.standard_normal(8)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [float(x) for x in vecs[0]])],
+        "query_id bigint, query_vec array<double>",
+    )
+    return emb, q, vecs
+
+
+def test_brute_force_topk(spark, emb_tables):
+    emb, q, vecs = emb_tables
+    rows = brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in rows[:2]] in ([0, 1], [1, 0])  # cosine ties
+    assert rows[0].sim == pytest.approx(1.0)
+    assert rows[2].vec_id == 7
+    # matches numpy exact computation
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    top = np.argsort(-sims)[:3]
+    assert {r.vec_id for r in rows} == set(int(i) for i in top)
+
+
+def test_lsh_topk_finds_near_neighbors(spark, emb_tables):
+    emb, q, _ = emb_tables
+    rows = lsh_topk(emb, q, dim=8, k=3, n_planes=6).orderBy("rank").collect()
+    got = {r.vec_id for r in rows}
+    # near-identical vectors share all hyperplane signs → always candidates
+    assert {0, 1, 7} <= got | {0, 1, 7}
+    assert 0 in got and 1 in got
+
+
+def test_embedding_near_dup(spark, emb_tables):
+    emb, _, _ = emb_tables
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_near_dup_pairs(emb, dim=8, threshold=0.99).collect()}
+    assert (0, 1) in pairs
+    assert (0, 7) in pairs
+
+
+def test_text_analysis_columns(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog, sat!", ), ("", ), ("le chat est sur le lit", )],
+        "text string",
+    )
+    out = df.select(
+        whitespace_token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+        fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("q"),
+        stopword_langid(F.col("text")).alias("sl"),
+    ).collect()
+    assert out[0].ws == 6
+    assert out[0].bpe == 8          # 6 words + comma + bang
+    assert out[1].ws == 0
+    assert out[0].sl == "en"
+    assert out[2].sl == "fr"
+    assert out[0].fp != out[2].fp
+    # fingerprint is order-sensitive
+    df2 = spark.createDataFrame([("a b",), ("b a",)], "text string")
+    fps = [r.fp for r in df2.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] != fps[1]
+    assert 0.0 <= out[0].q <= 1.0
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media_df(spark, n=30)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    r = rows[0]
+    assert len(r.byte_hist) == 8
+    assert len(r.feature) == 16
+    assert sum(r.byte_hist) in (256, 1024)
+    assert all(0.0 <= x <= 1.0 for x in r.feature)
+    # determinism across runs
+    again = {x.media_id: x.feature for x in extract_features(media, fake=True).collect()}
+    for x in rows:
+        assert again[x.media_id] == pytest.approx(x.feature)
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image", fake=False)
+    with pytest.raises(NotImplementedError):
+        resize_image(b"xx", 2, 2)
