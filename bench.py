@@ -1,0 +1,96 @@
+"""Benchmark harness (EvaluateQuality-shaped, SURVEY.md §2.6 E3).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The flagship number is the full langid+quality-filter pipeline throughput
+(docs/sec) over the synthetic pages table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = set(sys.argv[1:])
+    from pyspark.sql import functions as F
+
+    from language_detection_spark.config import get_spark
+    from language_detection_spark.models.factory import load_default_model
+    from language_detection_spark.operators.pipeline import (
+        PipelineOptions,
+        QualityFilterPipeline,
+    )
+    from language_detection_spark.operators.quality import QualityConfig
+    from language_detection_spark.queries import queries as registry
+    from language_detection_spark.sources.pages import synth_pages_df
+
+    spark = get_spark("ldspark-bench")
+    model = load_default_model()
+
+    # materialize the pages table once (generation cost excluded from the
+    # pipeline number, like the reference's corpus preload)
+    pages_path = f"{sf_dir.rstrip('/').replace('/', '_').lstrip('_')}_pages"
+    pages_dir = os.path.join(os.environ.get("TMPDIR", "/tmp"), pages_path)
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        synth_pages_df(spark, sf_dir).write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    n_docs = pages.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        if only and name not in only:
+            return
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    pipe = QualityFilterPipeline(
+        spark,
+        model,
+        QualityConfig(lang_allow=("en",), min_stopword_hits=1),
+        PipelineOptions(n_buckets=256),
+    )
+    timed("pipeline", lambda: pipe.run(pages).write.mode("overwrite").format(
+        "noop"
+    ).save())
+
+    q = registry()
+    timed("detect", lambda: q["detect_language_counts"](spark, sf_dir).collect())
+    timed("fast_langid", lambda: q["fast_langid_counts"](spark, sf_dir).collect())
+    timed("train_grams", lambda: q["train_gram_counts"](spark, sf_dir).count())
+    timed("minhash_dedup", lambda: q["minhash_near_dups"](spark, sf_dir).count())
+    timed("exact_dedup", lambda: q["exact_dup_clusters"](spark, sf_dir).count())
+    timed("doc_stats", lambda: q["doc_stats"](spark, sf_dir).count())
+    timed("similarity_topk", lambda: q["similarity_topk"](spark, sf_dir).count())
+    timed("pii_scrub", lambda: q["pii_scrub"](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    pipeline_sec = timings.get("pipeline", float("nan"))
+    out = {
+        "metric": "langid+quality-filter pipeline wall time (headline: docs_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
+        "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count(),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,17 +93,15 @@ def minhash_signatures(
     are dropped (cannot be near-dup candidates)."""
     sh = word_shingles(F.col(text_col), shingle_k).alias("shingles")
     base = df.select(F.col(id_col).alias("id"), sh).filter(F.size("shingles") > 0)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, p=p: md5_int(F.concat(F.lit(f"{p}:"), s)),
-                )
-            )
-            for p in range(num_perm)
-        ]
-    ).alias("sig")
+    def _perm_min(p: int):
+        # NB: the lambda must be unary — pyspark's transform feeds a second
+        # positional arg (the element index) to binary lambdas
+        prefix = F.lit(f"{p}:")
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: md5_int(F.concat(prefix, s)))
+        )
+
+    sig = F.array(*[_perm_min(p) for p in range(num_perm)]).alias("sig")
     return base.select("id", sig)
 
 
