@@ -9,15 +9,14 @@ detector, in two forms with the same semantics:
   seeded run follows the reference's exact sampling order
   (DetectorFactory.setSeed, DetectorFactory.java:210-213).
 
-* :func:`detect_batch` — the vectorized scale path.  Identical math in log
-  space: per trial t, alpha_t = alpha + N(0,1)*0.05; iterate
-  logp += log(alpha_t/10000 + P[gram_r]); every 5th iteration check
-  softmax-max > 0.99999 (or the 1000-iteration cap); average the per-trial
-  posteriors.  Draws come from a per-document counter-based Philox stream
-  (deterministic given the document's seed), and the inner loop is chunked
-  numpy: sample a block of draws, gather log-weight rows, cumsum, evaluate
-  all checkpoints in the block at once, stop at the first converged one.
-  No per-row Python in the hot loop beyond the per-document dispatch.
+* :func:`detect_batch` — the vectorized scale path.  Identical math: per
+  trial t, alpha_t = alpha + N(0,1)*0.05; iterate
+  prob *= alpha_t/10000 + P(gram_r|lang); every 5th iteration renormalize
+  and stop when max > 0.99999 (or at the 1000-iteration cap); average the
+  per-trial posteriors.  Draws come from a per-document counter-based
+  Philox stream (deterministic given the document's seed); the inner loop
+  is chunked cumprod over a (trials, chunk, langs) tensor — see
+  ``_detect_one`` for why linear space is numerically safe.
 """
 
 from __future__ import annotations
@@ -40,7 +39,7 @@ from ..functions.ngram import extract_gram_keys, extract_ngrams_scanner, pack_gr
 from ..functions.normalize import prepare_text, purge_latin_if_minor
 from ..models.factory import DetectorModel
 
-_CHUNK = 250  # sampling iterations per numpy block (50 checkpoints)
+_CHUNK = 50  # sampling iterations per numpy block (10 checkpoints)
 
 
 class CantDetectError(ValueError):
@@ -148,8 +147,16 @@ def _detect_one(
     rng: np.random.Generator,
     alpha: float,
     n_trial: int,
-    prior_log: np.ndarray | None,
+    prior: np.ndarray | None,
 ) -> np.ndarray | None:
+    """All ``n_trial`` trials run in lockstep as one (T, chunk, L) tensor.
+
+    Linear space is safe *because* the semantics renormalize every 5
+    iterations (exactly like the reference, Detector.java:322-328): the
+    smallest per-step factor is alpha/BASE_FREQ ≈ 3e-5, so a 50-step
+    cumprod bottoms out around 1e-228 — far above float64 underflow — and
+    every chunk ends with a renormalize.  No log/exp in the loop.
+    """
     text = purge_latin_if_minor(prepared_text)
     keys = extract_gram_keys(text)
     if keys.size == 0:
@@ -159,44 +166,40 @@ def _detect_one(
     if rows.size == 0:
         return None
     ur, inv = np.unique(rows, return_inverse=True)
-    P = model.probs[ur]  # (u, L)
-    n_langs = P.shape[1]
-    base_log = (
-        prior_log
-        if prior_log is not None
-        else np.full(n_langs, -np.log(n_langs))
-    )
-    alphas = alpha + rng.standard_normal(n_trial) * ALPHA_WIDTH
-    avg = np.zeros(n_langs)
+    Pu = model.probs[ur]  # (u, L)
+    n_langs = Pu.shape[1]
+    base = prior if prior is not None else np.full(n_langs, 1.0 / n_langs)
+    weights = (alpha + rng.standard_normal(n_trial) * ALPHA_WIDTH) / BASE_FREQ
     m = rows.size
-    for t in range(n_trial):
-        with np.errstate(divide="ignore"):
-            W = np.log(alphas[t] / BASE_FREQ + P)  # (u, L)
-        logp = base_log.copy()
-        i = 0
-        while True:
-            n_draw = min(_CHUNK, ITERATION_LIMIT + 1 - i)
-            draws = rng.integers(0, m, size=n_draw)
-            cs = np.cumsum(W[inv[draws]], axis=0)  # (n_draw, L)
-            first_cp = -(-i // 5) * 5  # first multiple of 5 >= i
-            rel = np.arange(first_cp - i, n_draw, 5)
-            ck = logp[None, :] + cs[rel]  # (k, L) checkpoint log-posteriors
-            mx = ck.max(axis=1, keepdims=True)
-            e = np.exp(ck - mx)
-            maxp = e.max(axis=1) / e.sum(axis=1)
-            abs_iters = i + rel
-            hit = np.flatnonzero(
-                (maxp > CONV_THRESHOLD) | (abs_iters >= ITERATION_LIMIT)
-            )
-            if hit.size:
-                j = int(hit[0])
-                logp = ck[j]
-                break
-            logp = logp + cs[-1]
-            i += n_draw
-        p = np.exp(logp - logp.max())
-        avg += (p / p.sum()) / n_trial
-    return avg
+    prob = np.tile(base, (n_trial, 1))  # (T, L)
+    done = np.zeros(n_trial, dtype=bool)
+    result = np.zeros((n_trial, n_langs))
+    i = 0
+    while True:
+        n_draw = min(_CHUNK, ITERATION_LIMIT + 1 - i)
+        draws = rng.integers(0, m, size=(n_trial, n_draw))
+        factors = Pu[inv[draws]] + weights[:, None, None]  # (T, nd, L)
+        cp = np.cumprod(factors, axis=1)
+        first_cp = -(-i // 5) * 5  # first multiple of 5 >= i
+        rel = np.arange(first_cp - i, n_draw, 5)
+        ck = prob[:, None, :] * cp[:, rel, :]  # (T, k, L) checkpoints
+        ck /= ck.sum(axis=2, keepdims=True)
+        maxp = ck.max(axis=2)  # (T, k)
+        hits = (maxp > CONV_THRESHOLD) | ((i + rel) >= ITERATION_LIMIT)[None, :]
+        for t in range(n_trial):
+            if done[t]:
+                continue
+            h = np.flatnonzero(hits[t])
+            if h.size:
+                result[t] = ck[t, h[0]]
+                done[t] = True
+        if done.all():
+            break
+        carry = prob * cp[:, -1, :]
+        carry /= carry.sum(axis=1, keepdims=True)
+        prob = np.where(done[:, None], prob, carry)
+        i += n_draw
+    return result.mean(axis=0)
 
 
 def doc_seed(doc_key: str, salt: int = 0) -> int:
@@ -223,10 +226,6 @@ def detect_batch(
     (n_docs, n_langs) averaged posterior matrix.
     """
     n_langs = len(model.langs)
-    prior_log = None
-    if prior is not None:
-        with np.errstate(divide="ignore"):
-            prior_log = np.log(prior)
     out_langs: list[str] = []
     confs = np.zeros(len(texts))
     post = np.zeros((len(texts), n_langs))
@@ -241,7 +240,7 @@ def detect_batch(
             rng,
             alpha,
             n_trial,
-            prior_log,
+            prior,
         )
         if p is None:
             out_langs.append(UNKNOWN_LANG)

@@ -431,7 +431,8 @@ WITH q AS (
 ),
 scored AS (
   SELECT q.query_id AS query_id, e.vec_id AS vec_id,
-         round(list_cosine_similarity(q.qv, e.embedding), 6) AS sim
+         round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 4)
+           AS sim
   FROM q CROSS JOIN embeddings e
 ),
 ranked AS (
@@ -461,7 +462,7 @@ def q_similarity_topk(spark, sf_dir):
             cosine_sim(
                 F.col("qv").cast("array<double>"), F.col("v").cast("array<double>")
             ),
-            6,
+            4,
         ).alias("sim"),
     )
     from pyspark.sql.window import Window
