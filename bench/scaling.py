@@ -1,0 +1,133 @@
+"""Two-cluster-size scaling evidence (north rule; BASELINE.md protocol).
+
+No multi-node cluster exists in this sandbox, so the N→4N-executor
+criterion is evidenced by running the SAME spark-submit job on the SAME
+input at local[8] vs local[32] (shuffle partitions scaled 2× cores) and
+reporting docs/sec at both plus scaling efficiency = (T32/T8)/(32/8).
+
+    python bench/scaling.py [sf_dir]    # writes BENCH/BASELINE.md + JSON
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def ensure_pages(sf_dir: str, pages_dir: str, replicate: int = 1) -> None:
+    """Materialize the synthetic pages table; ``replicate`` duplicates every
+    page with distinct urls so the measured region dominates fixed overheads
+    (the sf tables are small; scaling needs minutes of real work)."""
+    if os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        return
+    sys.path.insert(0, str(ROOT))
+    from pyspark.sql import functions as F
+
+    from language_detection_spark.config import get_spark
+    from language_detection_spark.sources.pages import synth_pages_df
+
+    spark = get_spark("gen-pages")
+    pages = synth_pages_df(spark, sf_dir)
+    if replicate > 1:
+        pages = pages.withColumn(
+            "_r", F.explode(F.sequence(F.lit(1), F.lit(replicate)))
+        ).withColumn(
+            "url", F.concat(F.col("url"), F.lit("?copy="), F.col("_r"))
+        ).drop("_r")
+    pages.repartition(64).write.mode("overwrite").parquet(pages_dir)
+    spark.stop()
+
+
+def run_at(cores: int, pages_dir: str, out_dir: str) -> dict:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--conf", f"spark.sql.shuffle.partitions={2 * cores}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=8g",
+        "--py-files", str(ROOT / "dist" / "pipeline.zip"),
+        str(ROOT / "jobs" / "run_pipeline.py"),
+        "--input", pages_dir,
+        "--output", out_dir,
+        "--buckets", "64",
+        "--chunk", "64",
+        "--no-resume",
+    ]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+        raise SystemExit(f"spark-submit at local[{cores}] failed")
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    res["cores"] = cores
+    res["launcher_wall_sec"] = round(wall, 2)
+    return res
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    tmp = os.environ.get("TMPDIR", "/tmp")
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    replicate = int(os.environ.get("SCALE_REPLICATE", "50"))
+    pages_dir = os.path.join(tmp, f"{tag}_pages_x{replicate}")
+    ensure_pages(sf_dir, pages_dir, replicate)
+    subprocess.run([sys.executable, str(ROOT / "tools" / "make_dist.py")], check=True)
+
+    results = [run_at(8, pages_dir, os.path.join(tmp, "scale_out_8")),
+               run_at(32, pages_dir, os.path.join(tmp, "scale_out_32"))]
+    t8 = results[0]["docs_per_sec"]
+    t32 = results[1]["docs_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    summary = {
+        "sf_dir": sf_dir,
+        "docs_per_sec_local8": t8,
+        "docs_per_sec_local32": t32,
+        "speedup_8_to_32": round(t32 / t8, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "runs": results,
+    }
+    bench_dir = ROOT / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "scaling.json").write_text(json.dumps(summary, indent=2))
+    md = f"""# BENCH/BASELINE — measured numbers
+
+## Scaling (north-rule N→4N evidence, sandbox protocol per BASELINE.md)
+
+Same spark-submit job (`jobs/run_pipeline.py`, full langid+filter+scrub
+pipeline, `--py-files dist/pipeline.zip`), same input
+({sf_dir} pages, {results[0]['metrics'].get('rows_in', '?')} docs), two
+parallelism levels:
+
+| cores | docs/sec | wall sec |
+|---|---|---|
+| local[8]  | {t8} | {results[0]['wall_sec']} |
+| local[32] | {t32} | {results[1]['wall_sec']} |
+
+- speedup 8→32 cores: **{t32 / t8:.2f}×** (ideal 4×)
+- scaling efficiency: **{eff:.3f}** (target ≥ 0.8)
+
+## Headline throughput
+
+Full pipeline (detector + perplexity + rules + scrub + checkpointed
+write + audit) at local[32]: **{t32} docs/sec**.
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

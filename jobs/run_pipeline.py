@@ -1,0 +1,81 @@
+"""spark-submit entry point for the quality-filter pipeline.
+
+    spark-submit --master local[32] --py-files dist/pipeline.zip \
+        jobs/run_pipeline.py --input <pages parquet> --output <dir> \
+        [--profile-dir DIR] [--buckets 256] [--chunk 64] [--no-resume]
+
+Runs the full langid + quality-filter + scrub pipeline with checkpointed
+per-bucket commits and an audit table; resumable by re-running with the
+same --output.  Prints a one-line JSON summary (rows, docs/sec, metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages parquet path")
+    ap.add_argument("--output", required=True, help="output root (data/ + audit/)")
+    ap.add_argument("--profile-dir", default=None)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--repartition", type=int, default=None)
+    ap.add_argument("--lang-allow", default="en")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    # under spark-submit the session/master comes from the launcher
+    spark = SparkSession.builder.appName("quality-filter-pipeline").getOrCreate()
+
+    from language_detection_spark.models.factory import load_default_model
+    from language_detection_spark.operators.pipeline import (
+        PipelineOptions,
+        QualityFilterPipeline,
+    )
+    from language_detection_spark.operators.quality import QualityConfig
+    from language_detection_spark.plans.audit import attach_observers
+    from language_detection_spark.plans.checkpoint import run_checkpointed
+
+    model = load_default_model(args.profile_dir)
+    cfg = QualityConfig(
+        lang_allow=tuple(args.lang_allow.split(",")), min_stopword_hits=1
+    )
+    opts = PipelineOptions(n_buckets=args.buckets, repartition=args.repartition)
+    pipe = QualityFilterPipeline(spark, model, cfg, opts)
+
+    pages = spark.read.parquet(args.input)
+    t0 = time.time()
+    ann = pipe.annotate(pages)
+    ann, obs = attach_observers(ann)
+    if args.no_resume:
+        import shutil
+
+        shutil.rmtree(args.output, ignore_errors=True)
+    summary = run_checkpointed(
+        ann, args.output, n_buckets=args.buckets, chunk_size=args.chunk,
+        run_id=args.run_id,
+    )
+    wall = time.time() - t0
+    metrics = dict(obs.get) if obs.get else {}
+    rows_in = metrics.get("rows_in")
+    out = {
+        **summary,
+        "wall_sec": round(wall, 2),
+        "metrics": {k: (round(v, 6) if isinstance(v, float) else v) for k, v in metrics.items()},
+        "docs_per_sec": round(rows_in / wall, 1) if rows_in else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,12 +20,15 @@ import json
 import re
 import sys
 import unicodedata
-from pathlib import Path
+from importlib import resources
 
 import numpy as np
 
+# importlib.resources (not Path(__file__)) so the table loads when the
+# package ships as a --py-files zip
 _DATA = json.loads(
-    (Path(__file__).resolve().parents[1] / "data" / "normalization.json")
+    resources.files("language_detection_spark.data")
+    .joinpath("normalization.json")
     .read_text(encoding="utf-8")
 )
 

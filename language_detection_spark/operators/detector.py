@@ -39,7 +39,10 @@ from ..functions.ngram import extract_gram_keys, extract_ngrams_scanner, pack_gr
 from ..functions.normalize import prepare_text, purge_latin_if_minor
 from ..models.factory import DetectorModel
 
-_CHUNK = 50  # sampling iterations per numpy block (10 checkpoints)
+# Sampling iterations per numpy block (10 checkpoints).  HARD BOUND: the
+# smallest per-step factor is alpha/BASE_FREQ ≈ 3e-5, so a C-step cumprod
+# reaches (3e-5)^C; C must stay ≤ 68 or float64 underflows silently.
+_CHUNK = 50
 
 
 class CantDetectError(ValueError):
