@@ -47,7 +47,12 @@ def ensure_pages(sf_dir: str, pages_dir: str, replicate: int = 1) -> None:
 
 def run_at(cores: int, pages_dir: str, out_dir: str) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
+    # taskset pins the WHOLE process tree (JVM + python workers) to `cores`
+    # CPUs — the honest stand-in for an N-executor cluster, where local[N]
+    # alone would let JVM service threads borrow extra cores and inflate
+    # the small-N baseline
     cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
         "spark-submit",
         "--master", f"local[{cores}]",
         "--conf", f"spark.sql.shuffle.partitions={2 * cores}",

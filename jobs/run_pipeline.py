@@ -48,7 +48,12 @@ def main(argv=None) -> int:
     cfg = QualityConfig(
         lang_allow=tuple(args.lang_allow.split(",")), min_stopword_hits=1
     )
-    opts = PipelineOptions(n_buckets=args.buckets, repartition=args.repartition)
+    repartition = args.repartition
+    if repartition is None:
+        # salted repartition before the UDF stage: 4 waves per core for load
+        # balance (Q6; host-level input skew dies here)
+        repartition = 4 * spark.sparkContext.defaultParallelism
+    opts = PipelineOptions(n_buckets=args.buckets, repartition=repartition)
     pipe = QualityFilterPipeline(spark, model, cfg, opts)
 
     pages = spark.read.parquet(args.input)

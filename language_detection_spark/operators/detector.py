@@ -39,10 +39,16 @@ from ..functions.ngram import extract_gram_keys, extract_ngrams_scanner, pack_gr
 from ..functions.normalize import prepare_text, purge_latin_if_minor
 from ..models.factory import DetectorModel
 
-# Sampling iterations per numpy block (10 checkpoints).  HARD BOUND: the
-# smallest per-step factor is alpha/BASE_FREQ ≈ 3e-5, so a C-step cumprod
-# reaches (3e-5)^C; C must stay ≤ 68 or float64 underflows silently.
-_CHUNK = 50
+# Checkpoint groups per numpy block.  Each group = 5 sampling iterations
+# (the renormalize-and-check cadence, Detector.java:322).  Group products
+# are computed in float32 — safe because (alpha/BASE_FREQ)^5 ≈ 2.4e-23 is
+# far above the float32 minimum — then the cross-group cumprod runs in
+# float64 ((2.4e-23)^10 ≈ 1e-226 > fp64 min).  This keeps the per-chunk
+# memory traffic ~4× below an all-fp64 formulation, which matters because
+# 32 parallel UDF workers saturate memory bandwidth before CPU.
+_CHUNK_GROUPS = 10
+_GROUP = 5
+_MAX_GROUPS = ITERATION_LIMIT // _GROUP + 1  # 201 → ≤1005 draws/trial
 
 
 class CantDetectError(ValueError):
@@ -152,16 +158,26 @@ def _detect_one(
     n_trial: int,
     prior: np.ndarray | None,
 ) -> np.ndarray | None:
-    """All ``n_trial`` trials run in lockstep as one (T, chunk, L) tensor.
-
-    Linear space is safe *because* the semantics renormalize every 5
-    iterations (exactly like the reference, Detector.java:322-328): the
-    smallest per-step factor is alpha/BASE_FREQ ≈ 3e-5, so a 50-step
-    cumprod bottoms out around 1e-228 — far above float64 underflow — and
-    every chunk ends with a renormalize.  No log/exp in the loop.
+    """All ``n_trial`` trials run in lockstep; draws are consumed in groups
+    of 5 (the renormalize-and-check cadence) so convergence is evaluated at
+    every group boundary, matching the reference's every-5-iterations check
+    (the vectorized path checks after 5,10,… updates; the faithful path
+    after 1,6,11,… — a scheduling detail with no semantic effect, and the
+    two paths agree on labels, see tests/test_parity_f1.py).
     """
     text = purge_latin_if_minor(prepared_text)
     keys = extract_gram_keys(text)
+    return _detect_from_keys(model, keys, rng, alpha, n_trial, prior)
+
+
+def _detect_from_keys(
+    model: DetectorModel,
+    keys: np.ndarray,
+    rng: np.random.Generator,
+    alpha: float,
+    n_trial: int,
+    prior: np.ndarray | None,
+) -> np.ndarray | None:
     if keys.size == 0:
         return None
     rows = model.lookup_rows(keys)
@@ -169,26 +185,30 @@ def _detect_one(
     if rows.size == 0:
         return None
     ur, inv = np.unique(rows, return_inverse=True)
-    Pu = model.probs[ur]  # (u, L)
-    n_langs = Pu.shape[1]
+    n_langs = model.probs.shape[1]
     base = prior if prior is not None else np.full(n_langs, 1.0 / n_langs)
     weights = (alpha + rng.standard_normal(n_trial) * ALPHA_WIDTH) / BASE_FREQ
+    # per-trial weighted probability table, float32 (see _CHUNK_GROUPS note)
+    Pw = (model.probs[ur][None, :, :] + weights[:, None, None]).astype(np.float32)
     m = rows.size
-    prob = np.tile(base, (n_trial, 1))  # (T, L)
+    t_idx = np.arange(n_trial)[:, None, None]
+    prob = np.tile(base, (n_trial, 1))  # (T, L) float64
     done = np.zeros(n_trial, dtype=bool)
     result = np.zeros((n_trial, n_langs))
-    i = 0
+    g_done = 0
     while True:
-        n_draw = min(_CHUNK, ITERATION_LIMIT + 1 - i)
-        draws = rng.integers(0, m, size=(n_trial, n_draw))
-        factors = Pu[inv[draws]] + weights[:, None, None]  # (T, nd, L)
-        cp = np.cumprod(factors, axis=1)
-        first_cp = -(-i // 5) * 5  # first multiple of 5 >= i
-        rel = np.arange(first_cp - i, n_draw, 5)
-        ck = prob[:, None, :] * cp[:, rel, :]  # (T, k, L) checkpoints
+        g = min(_CHUNK_GROUPS, _MAX_GROUPS - g_done)
+        draws = inv[rng.integers(0, m, size=(n_trial, g, _GROUP))]
+        pf = Pw[t_idx, draws]  # (T, g, 5, L) float32 gather
+        gf = pf.prod(axis=2)   # (T, g, L) float32 — safe range, see above
+        cg = np.cumprod(gf, axis=1, dtype=np.float64)  # (T, g, L)
+        ck = prob[:, None, :] * cg
         ck /= ck.sum(axis=2, keepdims=True)
-        maxp = ck.max(axis=2)  # (T, k)
-        hits = (maxp > CONV_THRESHOLD) | ((i + rel) >= ITERATION_LIMIT)[None, :]
+        maxp = ck.max(axis=2)  # (T, g)
+        at_cap = g_done + g >= _MAX_GROUPS
+        hits = maxp > CONV_THRESHOLD
+        if at_cap:
+            hits[:, -1] = True
         for t in range(n_trial):
             if done[t]:
                 continue
@@ -198,10 +218,8 @@ def _detect_one(
                 done[t] = True
         if done.all():
             break
-        carry = prob * cp[:, -1, :]
-        carry /= carry.sum(axis=1, keepdims=True)
-        prob = np.where(done[:, None], prob, carry)
-        i += n_draw
+        prob = np.where(done[:, None], prob, ck[:, -1, :])
+        g_done += g
     return result.mean(axis=0)
 
 
@@ -210,6 +228,48 @@ def doc_seed(doc_key: str, salt: int = 0) -> int:
     import zlib
 
     return (zlib.crc32(doc_key.encode("utf-8")) ^ salt) & 0xFFFFFFFF
+
+
+def annotate_batch(
+    model: DetectorModel,
+    texts,
+    seeds,
+    alpha: float = ALPHA_DEFAULT,
+    n_trial: int = N_TRIAL_DEFAULT,
+    max_text_length: int = MAX_TEXT_LENGTH,
+    lm_alpha: float = 0.1,
+) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """Fused per-document annotate: langid + confidence + char-trigram
+    perplexity from ONE gram extraction (the LM reuses the detector's
+    post-purge gram keys; both stages share prepare_text).
+    Returns (langs, confs, ppl) with ppl = nan where undefined."""
+    from .perplexity import perplexity_from_keys
+
+    lang_conf = np.zeros(len(texts))
+    ppl = np.full(len(texts), np.nan)
+    out_langs: list[str] = []
+    for i, (text, seed) in enumerate(zip(texts, seeds)):
+        if text is None:
+            out_langs.append(UNKNOWN_LANG)
+            continue
+        prepared = prepare_text(text, max_text_length)
+        purged = purge_latin_if_minor(prepared)
+        keys = extract_gram_keys(purged)
+        rng = np.random.Generator(np.random.Philox(key=int(seed)))
+        p = _detect_from_keys(model, keys, rng, alpha, n_trial, None)
+        if p is None:
+            out_langs.append(UNKNOWN_LANG)
+            continue
+        top = int(np.argmax(p))
+        if p[top] > PROB_THRESHOLD:
+            out_langs.append(model.langs[top])
+            lang_conf[i] = p[top]
+            v = perplexity_from_keys(model, keys, top, lm_alpha)
+            if v is not None:
+                ppl[i] = v
+        else:
+            out_langs.append(UNKNOWN_LANG)
+    return out_langs, lang_conf, ppl
 
 
 def detect_batch(

@@ -19,12 +19,12 @@ _PREFIX_MASK = (1 << 34) - 1
 _THREE_GRAM_MIN = 1 << 34
 
 
-def perplexity_one(
-    model: DetectorModel, text: str, lang_index: int, alpha: float = 0.1
+def perplexity_from_keys(
+    model: DetectorModel, keys: np.ndarray, lang_index: int, alpha: float = 0.1
 ) -> float | None:
+    """LM over already-extracted packed gram keys (shared with detection)."""
     if model.counts is None:
         raise ValueError("model has no raw counts (needed for the LM)")
-    keys = extract_gram_keys(prepare_text(text))
     k3 = keys[keys >= _THREE_GRAM_MIN]
     if k3.size == 0:
         return None
@@ -35,6 +35,14 @@ def perplexity_one(
     c2 = np.where(r2 >= 0, model.counts[np.maximum(r2, 0), lang_index], 0)
     logp = np.log(c3 + alpha) - np.log(c2 + alpha * V)
     return float(np.exp(-logp.mean()))
+
+
+def perplexity_one(
+    model: DetectorModel, text: str, lang_index: int, alpha: float = 0.1
+) -> float | None:
+    return perplexity_from_keys(
+        model, extract_gram_keys(prepare_text(text)), lang_index, alpha
+    )
 
 
 def perplexity_batch(

@@ -27,8 +27,7 @@ from pyspark.sql.types import (
 )
 
 from ..models.factory import DetectorModel
-from .detector import detect_batch, doc_seed
-from .perplexity import perplexity_batch
+from .detector import annotate_batch, detect_batch, doc_seed
 
 DETECT_SCHEMA = StructType(
     [
@@ -93,10 +92,7 @@ def make_annotate_udf(model: DetectorModel, spark=None, seed_salt: int = 0,
         m = bc.value if bc is not None else model
         texts = list(batch["text"])
         seeds = _seeds_for(batch["url"], batch["text"], seed_salt)
-        langs, confs, _ = detect_batch(m, texts, seeds)
-        lang_to_idx = {l: i for i, l in enumerate(m.langs)}
-        idxs = [lang_to_idx.get(l, -1) for l in langs]
-        ppl = perplexity_batch(m, texts, idxs, alpha=lm_alpha)
+        langs, confs, ppl = annotate_batch(m, texts, seeds, lm_alpha=lm_alpha)
         return pd.DataFrame(
             {
                 "lang": langs,

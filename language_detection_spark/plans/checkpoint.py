@@ -16,6 +16,7 @@ marker, data writes are idempotent.
 
 from __future__ import annotations
 
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,18 +54,27 @@ def run_checkpointed(
 
     chunks = [todo[i : i + chunk_size] for i in range(0, len(todo), chunk_size)]
     n_done = 0
+    write_sec = audit_sec = 0.0
     for ci, chunk in enumerate(chunks):
         part = annotated.filter(F.col("bucket").isin(chunk))
+        # co-locate each bucket into one task before the partitioned write —
+        # otherwise every task emits a file per bucket (tasks × buckets small
+        # files) and the driver-serial commit dominates at high parallelism
+        part = part.repartition(len(chunk), F.col("bucket"))
+        t0 = time.time()
         (
             part.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{out_dir}/data")
         )
+        write_sec += time.time() - t0
+        t0 = time.time()
         written = spark.read.parquet(f"{out_dir}/data").filter(
             F.col("bucket").isin(chunk)
         )
         audit = audit_aggregation(written, run_id)
         audit.write.mode("append").parquet(f"{out_dir}/audit")
+        audit_sec += time.time() - t0
         n_done += 1
         if fail_after_chunks is not None and n_done >= fail_after_chunks:
             raise RuntimeError(f"injected failure after {n_done} chunks")
@@ -73,4 +83,6 @@ def run_checkpointed(
         "buckets_total": n_buckets,
         "buckets_previously_committed": len(done),
         "buckets_committed_now": sum(len(c) for c in chunks),
+        "write_sec": round(write_sec, 2),
+        "audit_sec": round(audit_sec, 2),
     }
