@@ -75,7 +75,10 @@ def make_detect_udf(model: DetectorModel, spark=None, seed_salt: int = 0):
         langs, confs, _ = detect_batch(m, list(texts), seeds)
         return pd.DataFrame({"lang": langs, "lang_conf": confs})
 
-    f = F.pandas_udf(_detect, DETECT_SCHEMA)
+    # asNondeterministic stops CollapseProject from inlining (and thus
+    # RE-EVALUATING) the UDF once per extracted struct field — without it a
+    # select of lang + lang_conf runs the detector twice per row
+    f = F.pandas_udf(_detect, DETECT_SCHEMA).asNondeterministic()
 
     def apply(url_col="url", text_col="text"):
         return f(F.struct(F.col(url_col).alias("url"), F.col(text_col).alias("text")))
@@ -101,7 +104,8 @@ def make_annotate_udf(model: DetectorModel, spark=None, seed_salt: int = 0,
             }
         )
 
-    f = F.pandas_udf(_annotate, ANNOTATE_SCHEMA)
+    # see make_detect_udf: prevents one-UDF-eval-per-extracted-field
+    f = F.pandas_udf(_annotate, ANNOTATE_SCHEMA).asNondeterministic()
 
     def apply(url_col="url", text_col="text"):
         return f(F.struct(F.col(url_col).alias("url"), F.col(text_col).alias("text")))
