@@ -187,11 +187,16 @@ def _detect_from_keys(
     ur, inv = np.unique(rows, return_inverse=True)
     n_langs = model.probs.shape[1]
     base = prior if prior is not None else np.full(n_langs, 1.0 / n_langs)
-    weights = (alpha + rng.standard_normal(n_trial) * ALPHA_WIDTH) / BASE_FREQ
-    # per-trial weighted probability table, float32 (see _CHUNK_GROUPS note)
-    Pw = (model.probs[ur][None, :, :] + weights[:, None, None]).astype(np.float32)
+    weights = (
+        (alpha + rng.standard_normal(n_trial) * ALPHA_WIDTH) / BASE_FREQ
+    ).astype(np.float32)
+    # single float32 gather table; the per-trial weight is added into the
+    # gathered chunk tensor in place.  Deliberately NO (T, u, L) per-trial
+    # table: that allocation (~300 KB/doc) crosses glibc's mmap threshold
+    # and the resulting per-document mmap/munmap churn serializes on kernel
+    # TLB shootdowns once tens of workers run in parallel.
+    Pu = model.probs[ur].astype(np.float32)  # (u, L)
     m = rows.size
-    t_idx = np.arange(n_trial)[:, None, None]
     prob = np.tile(base, (n_trial, 1))  # (T, L) float64
     done = np.zeros(n_trial, dtype=bool)
     result = np.zeros((n_trial, n_langs))
@@ -199,7 +204,8 @@ def _detect_from_keys(
     while True:
         g = min(_CHUNK_GROUPS, _MAX_GROUPS - g_done)
         draws = inv[rng.integers(0, m, size=(n_trial, g, _GROUP))]
-        pf = Pw[t_idx, draws]  # (T, g, 5, L) float32 gather
+        pf = Pu[draws]  # (T, g, 5, L) float32 gather
+        pf += weights[:, None, None, None]
         gf = pf.prod(axis=2)   # (T, g, L) float32 — safe range, see above
         cg = np.cumprod(gf, axis=1, dtype=np.float64)  # (T, g, L)
         ck = prob[:, None, :] * cg

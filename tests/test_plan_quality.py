@@ -1,0 +1,79 @@
+"""Physical-plan assertions — the plans we ship are the plans we designed
+(SURVEY.md §4): filters reach the parquet scan, small dims broadcast, the
+annotate UDF evaluates exactly once, html never crosses the shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_scan(spark, sf_dir):
+    from language_detection_spark.queries import queries
+
+    df = queries()["lang_keep_filter"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "PushedFilters: [" in plan
+    assert "n_chars" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = executed_plan(docs)
+    rs = plan.split("ReadSchema:")[1][:120]
+    assert "doc_id" in rs and "text" not in rs
+
+
+def test_broadcast_join_in_region_query(spark, sf_dir):
+    from language_detection_spark.queries import queries
+
+    plan = executed_plan(queries()["orders_by_region"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_annotate_udf_evaluates_once(spark, tiny_model):
+    from language_detection_spark.operators.udfs import make_annotate_udf
+
+    df = spark.createDataFrame(
+        [("u1", "the cat sat")], "url string, text string"
+    )
+    ann = make_annotate_udf(tiny_model, spark)("url", "text")
+    out = df.withColumn("_a", ann).select(
+        "url", "_a.lang", "_a.lang_conf", "_a.ppl"
+    )
+    plan = executed_plan(out)
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_html_projected_away_before_shuffle(spark, tiny_model, sf_dir):
+    from language_detection_spark.operators.pipeline import (
+        PipelineOptions,
+        QualityFilterPipeline,
+    )
+    from language_detection_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, sf_dir)
+    pipe = QualityFilterPipeline(
+        spark, tiny_model, opts=PipelineOptions(n_buckets=8, repartition=4)
+    )
+    plan = executed_plan(pipe.annotate(pages))
+    # the exchange operates on a projection without the html column
+    exchange_idx = plan.find("Exchange")
+    assert exchange_idx > 0
+    assert "html" not in plan[exchange_idx : exchange_idx + 800]
+
+
+def test_whole_stage_codegen_covers_rules(spark, sf_dir):
+    from language_detection_spark.operators.quality import (
+        QualityConfig,
+        rule_columns,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = rule_columns(docs, QualityConfig(), "text")
+    plan = executed_plan(df)
+    assert "WholeStageCodegen" in plan
+    assert "ArrowEvalPython" not in plan  # rules are pure expressions
