@@ -58,6 +58,9 @@ def get_spark(app_name: str = "language-detection-spark", cores: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # Spark 4.1's ChecksumCheckpointFileManager can deadlock its await
+        # inside stateful-streaming state-store commits in local mode
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     )
     for k, v in extra.items():
         b = b.config(k, v)

@@ -75,5 +75,6 @@ def test_whole_stage_codegen_covers_rules(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df = rule_columns(docs, QualityConfig(), "text")
     plan = executed_plan(df)
-    assert "WholeStageCodegen" in plan
+    # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(" in plan
     assert "ArrowEvalPython" not in plan  # rules are pure expressions
