@@ -106,10 +106,18 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Band the signature, bucket-join on (band, band_hash) → (id_a, id_b)
-    candidate pairs (id_a < id_b), deduplicated across bands."""
+    candidate pairs (id_a < id_b), deduplicated across bands.
+
+    ``max_bucket_size`` drops over-full buckets before the self-join: at
+    web scale a boilerplate cluster (error pages, parked domains) can put
+    millions of documents in one bucket and turn the join quadratic; such
+    clusters are better handled by exact dedup upstream."""
     banded = sigs.select(
         "id",
         F.explode(
@@ -132,6 +140,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.band_hash")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_sz")
+        )
+        banded = (
+            banded.join(sizes, ["band", "band_hash"])
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
