@@ -678,7 +678,9 @@ def q_ann_lsh(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = lsh_topk(emb, q, dim=dim, k=5)
+    # 6 planes → 64 buckets: sized so buckets hold enough candidates for a
+    # meaningful top-k at these row counts (recall/îcost knob)
+    out = lsh_topk(emb, q, dim=dim, k=5, n_planes=6)
     return out.select(
         "query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank"
     ).orderBy("query_id", "rank")
