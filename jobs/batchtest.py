@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     )
     if args.limit:
         corpus = corpus.limit(args.limit)
+    # the corpus is one small text file (one input split) — spread it over
+    # the cluster before the detector stage
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
     corpus = corpus.withColumn(
         "url", F.concat(F.lit("line://"), F.monotonically_increasing_id().cast("string"))
     )
