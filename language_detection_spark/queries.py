@@ -650,6 +650,38 @@ def q_pipeline_keep_drop(spark, sf_dir):
     )
 
 
+# SimHash values per document — the python-UDF hash math is reproducible
+# in SQL because the token hash is the shared md5-prefix-int
+_SIMHASH_VALUES_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+),
+h AS (SELECT doc_id, ('0x'||substr(md5(word),1,15))::BIGINT AS hw FROM w),
+b AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hw >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS score
+  FROM h CROSS JOIN (SELECT unnest(range(0,60)) AS bit) bits
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN score > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END)::BIGINT
+         AS simhash
+FROM b GROUP BY doc_id
+"""
+
+
+@register("simhash_values", _SIMHASH_VALUES_SQL)
+def q_simhash_values(spark, sf_dir):
+    from .operators.dedup import simhash_udf
+
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+    )
+
+
 @register("simhash_near_dups", None)
 def q_simhash(spark, sf_dir):
     from .operators.dedup import simhash_near_dup_pairs
@@ -659,7 +691,56 @@ def q_simhash(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@register("minhash_near_dups", None)
+# full near-dup pipeline: 16-perm signatures → 4-band LSH buckets →
+# exact shingle-set Jaccard ≥ 0.5 — the whole thing is SQL-reproducible
+_MINHASH_PAIRS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         [array_to_string(words[i:i+2], ' ')
+          for i in range(1, len(words) - 1)] AS sh
+  FROM w WHERE len(words) >= 3
+),
+sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(sh,
+            s -> ('0x'||substr(md5(p::VARCHAR||':'||s),1,15))::BIGINT))
+          for p in range(0, 16)] AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b) bands
+),
+sized AS (SELECT band, band_hash, count(*) AS sz FROM banded GROUP BY 1, 2),
+bf AS (
+  SELECT banded.* FROM banded JOIN sized USING (band, band_hash)
+  WHERE sz <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bf a JOIN bf b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM sh),
+ver AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sset, sb.sset)) AS ni,
+         len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))
+           AS nu
+  FROM cand
+  JOIN sets sa ON sa.doc_id = id_a
+  JOIN sets sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(ni * 1.0 / nu, 6) AS jaccard
+FROM ver WHERE ni * 1.0 / nu >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+@register("minhash_near_dups", _MINHASH_PAIRS_SQL)
 def q_minhash_pairs(spark, sf_dir):
     from .operators.dedup import minhash_dedup_pairs
 
