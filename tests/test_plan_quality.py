@@ -78,3 +78,28 @@ def test_whole_stage_codegen_covers_rules(spark, sf_dir):
     # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
     assert "*(" in plan
     assert "ArrowEvalPython" not in plan  # rules are pure expressions
+
+
+def test_salted_repartition_balances_skew(spark):
+    """Runtime skew check: input clustered on one host key still spreads
+    uniformly over tasks after the salted repartition (Q6)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from language_detection_spark.plans.repartition import salted_repartition
+
+    # 90% of rows from one "host" — the host-level skew the north rule
+    # calls out
+    urls = [f"https://bighost.example/{i}" for i in range(900)] + [
+        f"https://host{i}.example/x" for i in range(100)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls})).coalesce(1)
+    out = salted_repartition(df, 8, "url")
+    sizes = (
+        out.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 8
+    assert max(counts) < 2.0 * (1000 / 8)  # no partition holds the hot host

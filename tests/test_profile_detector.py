@@ -214,3 +214,28 @@ def test_reference_profile_roundtrip_and_model():
     )
     assert langs == ["en", "fr", "de", "ja", "ru", "ar"], langs
     assert all(c > 0.9 for c in confs)
+
+
+def test_detector_edge_inputs():
+    """Edge inputs: empty, whitespace, URL-only, digits, emoji, long text,
+    lone-surrogate-producing input — no crashes, sane labels."""
+    import numpy as np
+
+    m = tiny_model()
+    texts = [
+        "",
+        "    ",
+        "https://example.com/path?q=1",
+        "1234567890 42 42",
+        "😀😀😀😀",
+        "the cat and the dog " * 2000,   # > max_text_length after prep
+        "\U0001f600a" * 3,
+        None,
+    ]
+    langs, confs, post = detect_batch(m, texts, seeds=range(len(texts)))
+    assert langs[0] == "unknown" and langs[1] == "unknown"
+    assert langs[2] == "unknown"  # URL scrubbed away → no features
+    assert langs[5] == "en"
+    assert langs[7] == "unknown"
+    assert len(langs) == len(texts)
+    assert np.isfinite(confs).all()
