@@ -659,6 +659,30 @@ def q_fast_langid(spark, sf_dir):
     )
 
 
+@register("langid_v3_counts", None)
+def q_langid_v3(spark, sf_dir):
+    """The reference's second detector (langid.py port) with its REAL
+    bundled model — label distribution over documents (I5-I8 with the
+    byte-DFA feature extractor F3, batch-vectorized)."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _cls(texts: pd.Series) -> pd.Series:
+        from .operators.langid_v3 import LangIdV3
+
+        lid = LangIdV3()
+        langs, _ = lid.classify_batch(list(texts))
+        return pd.Series(langs)
+
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("pred", _cls(F.col("text")))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred")
+    )
+
+
 @register("pipeline_keep_drop", None)
 def q_pipeline_keep_drop(spark, sf_dir):
     """Full quality-filter pipeline over the synthetic pages table:
