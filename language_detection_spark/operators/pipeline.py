@@ -35,6 +35,7 @@ class PipelineOptions:
     n_buckets: int = 256
     repartition: int | None = None      # None → let AQE decide (no reshuffle)
     seed_salt: int = 0
+    engine: str = "sampling"            # or "langid_v3" (fast path)
 
 
 class QualityFilterPipeline:
@@ -49,7 +50,9 @@ class QualityFilterPipeline:
         self.model = model
         self.cfg = cfg or QualityConfig()
         self.opts = opts or PipelineOptions()
-        self._annotate_udf = make_annotate_udf(model, spark, self.opts.seed_salt)
+        self._annotate_udf = make_annotate_udf(
+            model, spark, self.opts.seed_salt, engine=self.opts.engine
+        )
 
     # ------------------------------------------------------------------
     def annotate(self, pages: DataFrame) -> DataFrame:

@@ -87,15 +87,34 @@ def make_detect_udf(model: DetectorModel, spark=None, seed_salt: int = 0):
 
 
 def make_annotate_udf(model: DetectorModel, spark=None, seed_salt: int = 0,
-                      lm_alpha: float = 0.1):
-    """Single Arrow crossing computing langid + confidence + perplexity."""
+                      lm_alpha: float = 0.1, engine: str = "sampling"):
+    """Single Arrow crossing computing langid + confidence + perplexity.
+
+    ``engine``:
+      * "sampling"  — the reference-faithful random-feature-sampling NB
+        (bit-parity with the reference's Detector).
+      * "langid_v3" — the deterministic byte-DFA NB fast path with the
+        reference's real langid.py model (~4× faster); perplexity still
+        comes from the profile LM when the predicted language has a
+        profile.
+    """
     bc = spark.sparkContext.broadcast(model) if spark is not None else None
 
     def _annotate(batch: pd.DataFrame) -> pd.DataFrame:
         m = bc.value if bc is not None else model
         texts = list(batch["text"])
-        seeds = _seeds_for(batch["url"], batch["text"], seed_salt)
-        langs, confs, ppl = annotate_batch(m, texts, seeds, lm_alpha=lm_alpha)
+        if engine == "langid_v3":
+            from .langid_v3 import LangIdV3
+            from .perplexity import perplexity_batch
+
+            lid = LangIdV3()
+            langs, confs = lid.classify_batch(texts)
+            lang_to_idx = {l: i for i, l in enumerate(m.langs)}
+            idxs = [lang_to_idx.get(l, -1) for l in langs]
+            ppl = perplexity_batch(m, texts, idxs, alpha=lm_alpha)
+        else:
+            seeds = _seeds_for(batch["url"], batch["text"], seed_salt)
+            langs, confs, ppl = annotate_batch(m, texts, seeds, lm_alpha=lm_alpha)
         return pd.DataFrame(
             {
                 "lang": langs,

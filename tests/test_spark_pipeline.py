@@ -213,3 +213,20 @@ def test_eval_aggregations(spark):
     overall = overall_accuracy(df).first()
     assert overall.n_docs == 6
     assert overall.accuracy == pytest.approx(4 / 6)
+
+
+def test_pipeline_langid_v3_engine(spark, tiny_model, multilingual_pages):
+    """The fast-path engine produces the same keep/drop shape (lang labels
+    from the real langid model; rules identical)."""
+    cfg = QualityConfig(
+        lang_allow=("en", "fr", "de"), lang_conf_min=0.5, min_words=50,
+        min_stopword_hits=0, alpha_word_frac_min=0.5, mean_word_len_min=2.0,
+    )
+    pipe = QualityFilterPipeline(
+        spark, tiny_model, cfg,
+        PipelineOptions(n_buckets=8, engine="langid_v3"),
+    )
+    rows = {r.url: r for r in pipe.annotate(multilingual_pages).collect()}
+    long_docs = [r for r in rows.values() if r.stat_n_words >= 50]
+    correct = sum(1 for r in long_docs if r.lang == r.lang_src)
+    assert correct / len(long_docs) >= 0.95
