@@ -69,6 +69,7 @@ def main() -> None:
     q = registry()
     timed("detect", lambda: q["detect_language_counts"](spark, sf_dir).collect())
     timed("fast_langid", lambda: q["fast_langid_counts"](spark, sf_dir).collect())
+    timed("langid_v3", lambda: q["langid_v3_counts"](spark, sf_dir).collect())
     timed("train_grams", lambda: q["train_gram_counts"](spark, sf_dir).count())
     timed("minhash_dedup", lambda: q["minhash_near_dups"](spark, sf_dir).count())
     timed("exact_dedup", lambda: q["exact_dup_clusters"](spark, sf_dir).count())
