@@ -39,11 +39,22 @@ def main() -> None:
     model = load_default_model()
 
     # materialize the pages table once (generation cost excluded from the
-    # pipeline number, like the reference's corpus preload)
-    pages_path = f"{sf_dir.rstrip('/').replace('/', '_').lstrip('_')}_pages"
-    pages_dir = os.path.join(os.environ.get("TMPDIR", "/tmp"), pages_path)
+    # pipeline number, like the reference's corpus preload); replicate with
+    # distinct urls so the pipeline number is work-bound, not startup-bound
+    replicate = int(os.environ.get("BENCH_REPLICATE", "20"))
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    pages_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"{tag}_bench_pages_x{replicate}"
+    )
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
-        synth_pages_df(spark, sf_dir).write.mode("overwrite").parquet(pages_dir)
+        p = synth_pages_df(spark, sf_dir)
+        if replicate > 1:
+            p = p.withColumn(
+                "_r", F.explode(F.sequence(F.lit(1), F.lit(replicate)))
+            ).withColumn(
+                "url", F.concat(F.col("url"), F.lit("?copy="), F.col("_r"))
+            ).drop("_r")
+        p.repartition(64).write.mode("overwrite").parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
     n_docs = pages.count()
 
