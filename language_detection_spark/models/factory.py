@@ -23,7 +23,7 @@ from pathlib import Path
 import numpy as np
 
 from ..functions.ngram import pack_gram, unpack_gram
-from .profile import LangProfile
+from .profile import LangProfile, _ulen
 
 
 class DetectorModel:
@@ -60,7 +60,7 @@ class DetectorModel:
         for li, p in enumerate(profiles):
             n_words[li] = p.n_words
             for gram, count in p.freq.items():
-                ln = len(gram)
+                ln = _ulen(gram)  # UTF-16 units, like Java's length()
                 if not (1 <= ln <= 3):
                     continue
                 denom = p.n_words[ln - 1]

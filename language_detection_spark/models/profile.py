@@ -26,6 +26,21 @@ _ROMAN_ONE = re.compile(r"^[A-Za-z]$")
 _HAS_ROMAN = re.compile(r".*[A-Za-z].*", re.DOTALL)
 
 
+def _canon(gram: str) -> str:
+    """Canonical string form: adjacent surrogate halves join into the astral
+    char (the form JSON round-trips to; same UTF-16 unit sequence either
+    way, which is what Java compares)."""
+    return gram.encode("utf-16-le", "surrogatepass").decode(
+        "utf-16-le", "surrogatepass"
+    )
+
+
+def _ulen(gram: str) -> int:
+    """Gram length in UTF-16 code units — Java's String.length(), which is
+    what indexes n_words (LangProfile.java:90)."""
+    return len(gram.encode("utf-16-le", "surrogatepass")) // 2
+
+
 class LangProfile:
     def __init__(self, name: str) -> None:
         if not name:
@@ -37,9 +52,10 @@ class LangProfile:
     def add_ngram(self, gram: str) -> None:
         if not gram:
             raise ValueError("Gram must be non-empty")
-        n = len(gram)
+        n = _ulen(gram)
         if n > N_GRAM:
             raise ValueError(f"Maximum gram length is {N_GRAM}")
+        gram = _canon(gram)
         self.n_words[n - 1] += 1
         self.freq[gram] = self.freq.get(gram, 0) + 1
 
@@ -56,14 +72,14 @@ class LangProfile:
         roman = 0
         for gram, count in list(self.freq.items()):
             if count <= threshold:
-                self.n_words[len(gram) - 1] -= count
+                self.n_words[_ulen(gram) - 1] -= count
                 del self.freq[gram]
             elif _ROMAN_ONE.match(gram):
                 roman += count
         if roman < self.n_words[0] // 3:
             for gram, count in list(self.freq.items()):
                 if _HAS_ROMAN.match(gram):
-                    self.n_words[len(gram) - 1] -= count
+                    self.n_words[_ulen(gram) - 1] -= count
                     del self.freq[gram]
 
     def update(self, text: str | None) -> None:

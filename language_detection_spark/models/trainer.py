@@ -53,13 +53,15 @@ def gram_counts(docs: DataFrame, text_col: str = "text",
 def profile_from_counts(counts_pdf: pd.DataFrame, name: str) -> LangProfile:
     """Aggregated (gram_key, n) rows → LangProfile (driver-side; profile
     sizes are KB-MB)."""
+    from .profile import _ulen
+
     p = LangProfile(name)
     freq: dict[str, int] = {}
     n_words = [0, 0, 0]
     for key, n in zip(counts_pdf["gram_key"], counts_pdf["n"]):
-        gram = unpack_gram(int(key))
+        gram = unpack_gram(int(key))  # unpack is already canonical
         freq[gram] = freq.get(gram, 0) + int(n)
-        n_words[len(gram) - 1] += int(n)
+        n_words[_ulen(gram) - 1] += int(n)
     p.freq = freq
     p.n_words = n_words
     return p
