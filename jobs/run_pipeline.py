@@ -26,6 +26,8 @@ def main(argv=None) -> int:
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--repartition", type=int, default=None)
     ap.add_argument("--lang-allow", default="en")
+    ap.add_argument("--engine", default="sampling",
+                    choices=["sampling", "langid_v3"])
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
@@ -53,7 +55,8 @@ def main(argv=None) -> int:
         # salted repartition before the UDF stage: 4 waves per core for load
         # balance (Q6; host-level input skew dies here)
         repartition = 4 * spark.sparkContext.defaultParallelism
-    opts = PipelineOptions(n_buckets=args.buckets, repartition=repartition)
+    opts = PipelineOptions(n_buckets=args.buckets, repartition=repartition,
+                           engine=args.engine)
     pipe = QualityFilterPipeline(spark, model, cfg, opts)
 
     pages = spark.read.parquet(args.input)

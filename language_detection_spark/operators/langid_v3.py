@@ -148,11 +148,23 @@ class LangIdModel:
         return m
 
 
+_DEFAULT_MODEL: LangIdModel | None = None
+
+
+def default_model() -> LangIdModel:
+    """Executor-side singleton of the bundled model (the npz decompress is
+    ~100ms — once per worker process, never per Arrow batch)."""
+    global _DEFAULT_MODEL
+    if _DEFAULT_MODEL is None:
+        _DEFAULT_MODEL = LangIdModel.load_npz()
+    return _DEFAULT_MODEL
+
+
 class LangIdV3:
     """Vectorized batch classifier over the real langid model."""
 
     def __init__(self, model: LangIdModel | None = None) -> None:
-        self.model = model or LangIdModel.load_npz()
+        self.model = model or default_model()
 
     def _feature_counts(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batch DFA walk → (doc_ids, features) instance pairs."""
