@@ -242,15 +242,57 @@ def simhash_udf():
     return _simhash
 
 
+def _simhash_chunks(n_tables: int, bits: int = _SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(offset, width) for ``n_tables`` disjoint chunks covering ``bits``
+    bits, widths as even as possible (floor/ceil split)."""
+    base, extra = divmod(bits, n_tables)
+    out, off = [], 0
+    for t in range(n_tables):
+        width = base + (1 if t < extra else 0)
+        out.append((off, width))
+        off += width
+    return out
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3, n_tables: int = 4,
+    max_hamming: int = 3, n_tables: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on ``n_tables`` disjoint 15-bit
-    chunks (a pair within Hamming distance 3 shares at least one of 4
-    chunks), verify Hamming distance exactly via bit_count(xor)."""
-    chunk = _SIMHASH_BITS // n_tables
+    """Near-dup pairs by SimHash: block on ``n_tables`` disjoint bit chunks,
+    verify Hamming distance exactly via bit_count(xor).
+
+    Recall guarantee (pigeonhole): a pair within Hamming distance h differs
+    in at most h chunks, so with ``n_tables >= h + 1`` disjoint chunks at
+    least one chunk is identical → the pair is ALWAYS a candidate.  Default
+    ``n_tables = max_hamming + 1`` keeps that guarantee for any h.
+
+    Scale note: wider h ⇒ more, narrower chunks ⇒ bigger buckets.  As with
+    MinHash LSH, ``max_bucket_size`` drops degenerate buckets (boilerplate
+    clusters) before the self-join; at web scale prefer the Manku et al.
+    2007 permuted-table design (fewer, wider blocks over rotated copies)
+    for h > ~4 — this blocked form is exact-recall and bounded for the
+    moderate h used here."""
     h = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh"))
+    return simhash_pairs_from_hashes(h, max_hamming, n_tables, max_bucket_size)
+
+
+def simhash_pairs_from_hashes(
+    h: DataFrame,
+    max_hamming: int = 3,
+    n_tables: int | None = None,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Blocked near-dup join over precomputed (id, sh) SimHash rows — see
+    simhash_near_dup_pairs for the recall guarantee."""
+    if n_tables is None:
+        n_tables = max_hamming + 1
+    if n_tables < max_hamming + 1:
+        raise ValueError(
+            f"n_tables={n_tables} cannot guarantee recall at Hamming "
+            f"{max_hamming}; need >= {max_hamming + 1}"
+        )
+    chunks = _simhash_chunks(n_tables)
     blocked = h.select(
         "id",
         "sh",
@@ -259,15 +301,22 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        F.shiftrightunsigned(F.col("sh"), t * chunk)
-                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        F.shiftrightunsigned(F.col("sh"), off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("blk"),
                     )
-                    for t in range(n_tables)
+                    for t, (off, width) in enumerate(chunks)
                 ]
             )
         ).alias("bb"),
     ).select("id", "sh", "bb.tbl", "bb.blk")
+    if max_bucket_size is not None:
+        sizes = blocked.groupBy("tbl", "blk").agg(F.count(F.lit(1)).alias("_sz"))
+        blocked = (
+            blocked.join(sizes, ["tbl", "blk"])
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(

@@ -103,12 +103,12 @@ WITH s AS (
 )
 SELECT
   count(*) AS n_docs,
-  sum(CASE WHEN n_words < 50 THEN 1 ELSE 0 END) AS viol_min_words,
-  sum(CASE WHEN n_words > 100000 THEN 1 ELSE 0 END) AS viol_max_words,
-  sum(CASE WHEN mwl IS NULL OR mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END)
+  sum(CASE WHEN n_words < 50 THEN 1 ELSE 0 END)::BIGINT AS viol_min_words,
+  sum(CASE WHEN n_words > 100000 THEN 1 ELSE 0 END)::BIGINT AS viol_max_words,
+  sum(CASE WHEN mwl IS NULL OR mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END)::BIGINT
     AS viol_mean_word_len,
-  sum(CASE WHEN lorem THEN 1 ELSE 0 END) AS viol_lorem,
-  sum(CASE WHEN curly THEN 1 ELSE 0 END) AS viol_curly
+  sum(CASE WHEN lorem THEN 1 ELSE 0 END)::BIGINT AS viol_lorem,
+  sum(CASE WHEN curly THEN 1 ELSE 0 END)::BIGINT AS viol_curly
 FROM s
 """
 
@@ -298,10 +298,10 @@ WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
 )
 SELECT doc_id,
-  list_sum(list_transform(range(1, len(words) + 1),
+  (list_sum(list_transform(range(1, len(words) + 1),
     i -> ('0x' || substr(md5(i::VARCHAR || ':' || words[i]), 1, 15))::BIGINT
          % 1152921504606846883))
-  % 1152921504606846883 AS fp
+  % 1152921504606846883)::BIGINT AS fp
 FROM w
 """
 
@@ -741,13 +741,28 @@ def q_simhash_values(spark, sf_dir):
     )
 
 
-@register("simhash_near_dups", None)
+# SimHash near-dup pairs — the oracle is the EXACT all-pairs Hamming ball
+# (O(n²) is fine at oracle scale), so it checks the blocking scheme's
+# recall, not just the arithmetic: n_tables = max_hamming+1 disjoint
+# chunks guarantee every pair within the ball is a candidate (pigeonhole).
+_SIMHASH_PAIRS_SQL = f"""
+WITH sv AS ({_SIMHASH_VALUES_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+ORDER BY id_a, id_b
+"""
+
+
+@register("simhash_near_dups", _SIMHASH_PAIRS_SQL)
 def q_simhash(spark, sf_dir):
     from .operators.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(
-        _docs(spark, sf_dir), max_hamming=8
-    ).orderBy("id_a", "id_b")
+    # empty docs hash to 0 and would all pair degenerately; the values
+    # oracle excludes them too
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    return simhash_near_dup_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
 
 
 # full near-dup pipeline: 16-perm signatures → 4-band LSH buckets →

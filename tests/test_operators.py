@@ -75,6 +75,52 @@ def test_simhash_near_dup(spark, dup_docs):
     assert not any({a, b} == {0, 3} for a, b in pairs)
 
 
+@pytest.mark.parametrize("max_hamming", [3, 8])
+def test_simhash_blocking_full_recall(spark, max_hamming):
+    """Pigeonhole guarantee: every pair at Hamming <= h is found, including
+    planted worst-case pairs at distance EXACTLY h with differing bits
+    spread one-per-chunk (the adversarial placement for blocked LSH)."""
+    from language_detection_spark.operators.dedup import (
+        _SIMHASH_BITS,
+        _simhash_chunks,
+        simhash_pairs_from_hashes,
+    )
+
+    rng = np.random.default_rng(42)
+    base = int(rng.integers(0, 1 << _SIMHASH_BITS))
+    rows = [(0, base)]
+    # planted worst case: flip one bit in each of h DIFFERENT chunks, so no
+    # chunk keeps more than one flipped bit until h+1 chunks run out
+    chunks = _simhash_chunks(max_hamming + 1)
+    flipped = base
+    for off, _w in chunks[:max_hamming]:
+        flipped ^= 1 << off
+    rows.append((1, flipped))
+    # random background docs
+    for i in range(2, 40):
+        rows.append((i, int(rng.integers(0, 1 << _SIMHASH_BITS))))
+    h = spark.createDataFrame(rows, "id bigint, sh bigint")
+    got = {(r.id_a, r.id_b) for r in
+           simhash_pairs_from_hashes(h, max_hamming=max_hamming).collect()}
+    # exact all-pairs reference
+    want = {
+        (a, b)
+        for ai, (a, va) in enumerate(rows)
+        for b, vb in rows[ai + 1:]
+        if bin(va ^ vb).count("1") <= max_hamming
+    }
+    assert (0, 1) in want  # the planted pair is at distance exactly h
+    assert got == want
+
+
+def test_simhash_under_tabled_raises(spark):
+    from language_detection_spark.operators.dedup import simhash_pairs_from_hashes
+
+    h = spark.createDataFrame([(0, 5)], "id bigint, sh bigint")
+    with pytest.raises(ValueError):
+        simhash_pairs_from_hashes(h, max_hamming=8, n_tables=4)
+
+
 @pytest.fixture(scope="module")
 def emb_tables(spark):
     rng = np.random.default_rng(0)
