@@ -36,6 +36,38 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def two_phase_topk(
+    scored: DataFrame, k: int, n_partial: int = 64, sim_col: str = "sim"
+) -> DataFrame:
+    """Scale-safe top-k per query over (query_id, vec_id, sim) rows.
+
+    A single ``row_number() OVER (PARTITION BY query_id)`` funnels the
+    ENTIRE scored corpus into n_queries tasks — a straggler wall at scale.
+    Instead: phase 1 ranks within (query_id, salt-of-vec_id) — n_partial
+    evenly-hashed sub-partitions per query, spill-safe sort, only k rows
+    survive per sub-partition; phase 2 re-ranks the tiny survivor set
+    (≤ n_partial·k rows/query).  Ties broken by vec_id → identical output
+    to the global window, deterministic."""
+    order = [F.desc(sim_col), F.asc("vec_id")]
+    partial = (
+        scored.withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_partial)))
+        .withColumn(
+            "_r1",
+            F.row_number().over(
+                Window.partitionBy("query_id", "_salt").orderBy(*order)
+            ),
+        )
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", sim_col, "rank")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -44,8 +76,10 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    n_partial: int = 64,
 ) -> DataFrame:
-    """Exact cosine top-k per query.  ``queries`` is broadcast."""
+    """Exact cosine top-k per query.  ``queries`` is broadcast; ranking is
+    two-phase (no global per-query window)."""
     q = F.broadcast(queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
@@ -54,12 +88,7 @@ def brute_force_topk(
     scored = q.crossJoin(base).withColumn(
         "sim", cosine_sim(F.col("qv").cast("array<double>"), F.col("v").cast("array<double>"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim", "rank")
-    )
+    return two_phase_topk(scored, k, n_partial)
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -89,32 +118,64 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 12,
     seed: int = 7,
+    probe_hamming: int = 1,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Approximate cosine top-k: same-bucket candidates, exact re-rank.
-    Recall grows with fewer planes / more probes; here single-probe."""
-    bucket = hyperplane_bucket_udf(dim, n_planes, seed)
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", bucket(F.col("v")))
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
-        ).withColumn("bucket", bucket(F.col("qv")))
+    """Approximate cosine top-k: bucket-collision candidates, exact re-rank.
+
+    Two independent recall knobs, both standard LSH amplification:
+
+    * Multi-probe (Lv et al. 2007): each query also probes every bucket
+      within Hamming distance ``probe_hamming`` of its own (a near neighbor
+      on the wrong side of one hyperplane lands one bit away) — extra
+      probes instead of extra tables, base side untouched.
+    * OR-amplification: ``n_tables`` independent plane sets; a pair is a
+      candidate if it collides in ANY table.  Base side carries one row per
+      table (n_tables× explode), queries probe each table.
+
+    Recall on clustered data (the ANN use-case) is high at defaults; on
+    isotropic-random vectors NO sublinear method retains recall — measure
+    with tests/test_operators.py::test_ann_recall_floor's protocol before
+    picking knobs for a corpus.  Candidates are deduplicated across tables
+    before the exact re-rank."""
+    if probe_hamming > 1:
+        raise NotImplementedError("probe_hamming > 1 not supported")
+    base_rows, q_rows = [], []
+    base0 = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     )
-    scored = q.join(base, "bucket").withColumn(
+    for t in range(n_tables):
+        bucket = hyperplane_bucket_udf(dim, n_planes, seed + 1000 * t)
+        base_rows.append(
+            base0.withColumn("tbl", F.lit(t)).withColumn("bucket", bucket(F.col("v")))
+        )
+        qt = q0.withColumn("tbl", F.lit(t)).withColumn("bucket", bucket(F.col("qv")))
+        if probe_hamming == 1:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+            qt = qt.withColumn("bucket", F.explode(probes))
+        q_rows.append(qt)
+    from functools import reduce
+
+    base = reduce(DataFrame.unionByName, base_rows)
+    q = F.broadcast(reduce(DataFrame.unionByName, q_rows))
+    cand = q.join(base, ["tbl", "bucket"]).select("query_id", "qv", "vec_id", "v")
+    if n_tables > 1:
+        # one bucket per (vec, table) and distinct probe values ⇒ duplicates
+        # only arise ACROSS tables
+        cand = cand.dropDuplicates(["query_id", "vec_id"])
+    scored = cand.withColumn(
         "sim",
         cosine_sim(F.col("qv").cast("array<double>"), F.col("v").cast("array<double>")),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim", "rank")
-    )
+    return two_phase_topk(scored.select("query_id", "vec_id", "sim"), k)
 
 
 def embedding_near_dup_pairs(

@@ -465,14 +465,9 @@ def q_similarity_topk(spark, sf_dir):
             4,
         ).alias("sim"),
     )
-    from pyspark.sql.window import Window
+    from .operators.similarity import two_phase_topk
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "vec_id", "sim", "rank")
-    )
+    return two_phase_topk(scored, k=5)
 
 
 # embedding stats per label
@@ -824,7 +819,51 @@ def q_minhash_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@register("ann_lsh_topk", None)
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 7) -> str:
+    """The LSH ANN pipeline is SQL-reproducible once the hyperplanes are
+    baked in as literals: DuckDB recomputes sign-bit buckets, Hamming-1
+    probes, and the exact cosine re-rank — a REAL oracle for the
+    bucketing/probing logic, not a snapshot."""
+    from .operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)  # (dim, H); bucket bit i = sign(v·planes[:,i])
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in planes[:, i]) + "]"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH eb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    list_sum(list_transform(range(0, {n_planes}), i ->
+      CASE WHEN list_dot_product(embedding::DOUBLE[], [{plane_lits}][i + 1]) > 0
+           THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM eb WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qv,
+    unnest(list_prepend(qb,
+      list_transform(range(0, {n_planes}), i -> xor(qb, 1::BIGINT << i))))
+      AS bucket
+  FROM q
+),
+scored AS (
+  SELECT p.query_id AS query_id, e.vec_id AS vec_id,
+         list_cosine_similarity(p.qv, e.v) AS sim_raw
+  FROM probes p JOIN eb e USING (bucket)
+),
+ranked AS (
+  SELECT query_id, vec_id, sim_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim_raw, 6) AS sim, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle_sql())
 def q_ann_lsh(spark, sf_dir):
     from .operators.similarity import lsh_topk
 
@@ -834,8 +873,9 @@ def q_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     # 6 planes → 64 buckets: sized so buckets hold enough candidates for a
-    # meaningful top-k at these row counts (recall/îcost knob)
-    out = lsh_topk(emb, q, dim=dim, k=5, n_planes=6)
+    # meaningful top-k at these row counts (recall/cost knob); Hamming-1
+    # multi-probe lifts recall without widening buckets
+    out = lsh_topk(emb, q, dim=dim, k=5, n_planes=6, probe_hamming=1)
     return out.select(
         "query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank"
     ).orderBy("query_id", "rank")

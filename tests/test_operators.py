@@ -159,6 +159,64 @@ def test_lsh_topk_finds_near_neighbors(spark, emb_tables):
     assert 0 in got and 1 in got
 
 
+def test_two_phase_topk_equals_global_window(spark, emb_tables):
+    """Two-phase ranking is exactly the global-window result, and the
+    physical plan has no window partitioned by query_id alone (the
+    straggler shape at scale: whole corpus into n_queries tasks)."""
+    from pyspark.sql.window import Window
+
+    emb, q, _ = emb_tables
+    out = brute_force_topk(emb, q, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[.*?partitionBy=\[([^\]]*)\]", plan):
+        keys = [k for k in m.group(1).split(", ") if k]
+        if len(keys) == 1 and keys[0].startswith("query_id"):
+            raise AssertionError(f"global per-query window in plan:\n{m.group(0)}")
+    # value parity vs the naive global window
+    scored = (
+        F.broadcast(q.withColumnRenamed("query_vec", "qv"))
+        .crossJoin(emb.withColumnRenamed("embedding", "v").withColumnRenamed("vec_id", "vec_id"))
+    )
+    from language_detection_spark.operators.similarity import cosine_sim
+
+    scored = scored.withColumn("sim", cosine_sim(F.col("qv"), F.col("v")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    want = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ann_recall_floor(spark):
+    """Multi-probe + multi-table LSH recall@5 vs brute force on a CLUSTERED
+    fixture — the workload ANN exists for.  (On isotropic-random vectors no
+    sublinear method retains recall; that datapoint is documented in
+    BENCH/BASELINE.md, measured with this same protocol.)"""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((40, 16)) * 3.0
+    vecs = np.repeat(centers, 10, axis=0) + 0.3 * rng.standard_normal((400, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i * 10]]) for i in range(20)],
+        "query_id bigint, query_vec array<double>",
+    )
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_topk(
+        emb, q, dim=16, k=5, n_planes=8, probe_hamming=1, n_tables=2
+    ).collect()
+    want = {(r.query_id, r.vec_id) for r in exact}
+    got = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, f"recall@5 = {recall}"
+
+
 def test_embedding_near_dup(spark, emb_tables):
     emb, _, _ = emb_tables
     pairs = {(r.id_a, r.id_b) for r in
