@@ -43,7 +43,6 @@ def main(argv=None) -> int:
         QualityFilterPipeline,
     )
     from language_detection_spark.operators.quality import QualityConfig
-    from language_detection_spark.plans.audit import attach_observers
     from language_detection_spark.plans.checkpoint import run_checkpointed
 
     model = load_default_model(args.profile_dir)
@@ -60,20 +59,37 @@ def main(argv=None) -> int:
     pipe = QualityFilterPipeline(spark, model, cfg, opts)
 
     pages = spark.read.parquet(args.input)
-    t0 = time.time()
-    ann = pipe.annotate(pages)
-    ann, obs = attach_observers(ann)
     if args.no_resume:
         import shutil
 
         shutil.rmtree(args.output, ignore_errors=True)
+    t0 = time.time()
+    # annotate-per-chunk mode: the bucket filter runs on the RAW pages, so
+    # each row crosses the detector UDF exactly once across the whole job
+    # (never once per chunk)
     summary = run_checkpointed(
-        ann, args.output, n_buckets=args.buckets, chunk_size=args.chunk,
-        run_id=args.run_id,
+        pages, args.output, n_buckets=args.buckets, chunk_size=args.chunk,
+        run_id=args.run_id, annotate=pipe.annotate,
     )
     wall = time.time() - t0
-    metrics = dict(obs.get) if obs.get else {}
-    rows_in = metrics.get("rows_in")
+    from pyspark.sql import functions as F
+
+    audit = spark.read.parquet(f"{args.output}/audit").filter(
+        F.col("run_id") == summary["run_id"]
+    )
+    arow = audit.agg(
+        F.sum("rows_in").alias("rows_in"),
+        F.sum("rows_kept").alias("rows_kept"),
+        F.sum("sum_lang_conf").alias("sum_lang_conf"),
+    ).first()
+    rows_in = arow["rows_in"]
+    metrics = {
+        "rows_in": rows_in,
+        "rows_kept": arow["rows_kept"],
+        "avg_lang_conf": (
+            arow["sum_lang_conf"] / rows_in if rows_in else None
+        ),
+    }
     out = {
         **summary,
         "wall_sec": round(wall, 2),

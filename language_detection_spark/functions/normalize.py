@@ -89,11 +89,14 @@ def _build_fold_table() -> np.ndarray:
 
 CHAR_FOLD: np.ndarray = _build_fold_table()
 
-# Uppercase-letter (category Lu) mask for the capital-word suppression rule
-# (NGram.java:56-64).  Built from unicodedata once.
+# Uppercase mask for the capital-word suppression rule (NGram.java:56-64).
+# Java Character.isUpperCase = category Lu OR the Other_Uppercase property
+# (e.g. U+2160-216F Roman numerals, U+24B6-24CF circled letters); CPython's
+# str.isupper() implements exactly the Unicode Uppercase property, so use it
+# instead of a category-Lu-only test.
 IS_UPPER: np.ndarray = np.zeros(0x10000, dtype=bool)
 for _cp in range(0x10000):
-    if unicodedata.category(chr(_cp)) == "Lu":
+    if chr(_cp).isupper():
         IS_UPPER[_cp] = True
 
 

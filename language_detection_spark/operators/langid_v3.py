@@ -203,12 +203,23 @@ class LangIdV3:
         doc_ids = np.repeat(nz // maxlen, ls)
         return doc_ids, feats, mask.any(axis=1)
 
-    def classify_batch(self, texts) -> tuple[list[str], np.ndarray]:
-        """Top-1 language + normalized confidence per text."""
+    def classify_batch(
+        self, texts, unknown_on_featureless: bool = False
+    ) -> tuple[list[str], np.ndarray]:
+        """Top-1 language + normalized confidence per text.
+
+        Default is reference-faithful: a document with no DFA features
+        scores argmax of the class prior (the compiled Java returns e.g.
+        ('en', 0.169) for such inputs — parity-tested).  With
+        ``unknown_on_featureless=True`` those documents get UNKNOWN/0.0
+        instead, matching the sampling engine's detect_batch semantics —
+        the pipeline uses this so its two engines agree on empty/
+        featureless documents."""
         m = self.model
         n = len(texts)
-        doc_ids, feats, has_bytes = self._feature_counts(list(texts))
+        doc_ids, feats, _has_bytes = self._feature_counts(list(texts))
         scores = np.tile(m.pc.astype(np.float32), (n, 1))  # (n, C)
+        has_feats = np.zeros(n, dtype=bool)
         if doc_ids.size:
             order = np.argsort(doc_ids, kind="stable")
             doc_sorted = doc_ids[order]
@@ -218,6 +229,7 @@ class LangIdV3:
                 lo, hi = bounds[d], bounds[d + 1]
                 if lo == hi:
                     continue
+                has_feats[d] = True
                 counts = np.bincount(feat_sorted[lo:hi], minlength=m.n_features)
                 # float32 accumulation, like the reference's float math
                 scores[d] += (
@@ -229,7 +241,14 @@ class LangIdV3:
             conf[d] = 1.0 / np.exp(
                 scores[d].astype(np.float64) - scores[d, best[d]]
             ).sum()
-        langs = [m.langs[int(b)] for b in best]
+        if unknown_on_featureless:
+            langs = [
+                m.langs[int(b)] if has_feats[d] else UNKNOWN
+                for d, b in enumerate(best)
+            ]
+            conf[~has_feats] = 0.0
+        else:
+            langs = [m.langs[int(b)] for b in best]
         return langs, conf
 
     def classify(self, text: str) -> tuple[str, float]:

@@ -108,7 +108,9 @@ def make_annotate_udf(model: DetectorModel, spark=None, seed_salt: int = 0,
             from .perplexity import perplexity_batch
 
             lid = LangIdV3()
-            langs, confs = lid.classify_batch(texts)
+            # unknown_on_featureless: both pipeline engines must agree on
+            # empty/featureless docs (lang drives rule_language)
+            langs, confs = lid.classify_batch(texts, unknown_on_featureless=True)
             lang_to_idx = {l: i for i, l in enumerate(m.langs)}
             idxs = [lang_to_idx.get(l, -1) for l in langs]
             ppl = perplexity_batch(m, texts, idxs, alpha=lm_alpha)

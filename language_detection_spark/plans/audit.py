@@ -19,6 +19,7 @@ def audit_aggregation(annotated: DataFrame, run_id: str) -> DataFrame:
     aggs = [
         F.count(F.lit(1)).alias("rows_in"),
         F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+        F.sum("lang_conf").alias("sum_lang_conf"),
         F.min("warc_ts").alias("min_warc_ts"),
         F.max("warc_ts").alias("max_warc_ts"),
     ]

@@ -34,29 +34,54 @@ def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
 
 
 def run_checkpointed(
-    annotated: DataFrame,
+    source: DataFrame,
     out_dir: str,
     n_buckets: int,
     chunk_size: int = 64,
     run_id: str | None = None,
     fail_after_chunks: int | None = None,
+    annotate=None,
+    bucket_src_col: str = "url",
 ) -> dict:
     """Process all not-yet-committed buckets in chunks.
+
+    Two modes:
+
+    * ``annotate=None`` (legacy): ``source`` is the fully annotated frame
+      (has ``bucket``).  NOTE the chunk filter cannot be pushed below the
+      nondeterministic annotate UDF in this mode, so every chunk re-runs
+      the detector over the FULL input — fine for a single chunk, O(n ×
+      n_chunks) detector work otherwise.
+    * ``annotate=callable``: ``source`` is the RAW pages frame; the bucket
+      is computed from ``bucket_src_col`` (url) BEFORE filtering, so each
+      chunk annotates only its own rows (the filter reaches the scan, the
+      detector runs exactly once per row across the whole job).  This is
+      the mode jobs/run_pipeline.py uses.
 
     ``fail_after_chunks`` injects a crash after N committed chunks (tests
     exercise the resume path with it).  Returns a summary dict.
     """
-    spark = annotated.sparkSession
+    spark = source.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
     done = committed_buckets(spark, out_dir)
     todo = [b for b in range(n_buckets) if b not in done]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    if annotate is not None:
+        from .repartition import bucket_col
+
+        source = source.withColumn(
+            "bucket", bucket_col(bucket_src_col, n_buckets)
+        )
+
     chunks = [todo[i : i + chunk_size] for i in range(0, len(todo), chunk_size)]
     n_done = 0
     write_sec = audit_sec = 0.0
     for ci, chunk in enumerate(chunks):
-        part = annotated.filter(F.col("bucket").isin(chunk))
+        part = source.filter(F.col("bucket").isin(chunk))
+        if annotate is not None:
+            # detector work is per-chunk: only this chunk's rows cross the UDF
+            part = annotate(part)
         # co-locate each bucket into one task before the partitioned write —
         # otherwise every task emits a file per bucket (tasks × buckets small
         # files) and the driver-serial commit dominates at high parallelism

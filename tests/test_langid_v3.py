@@ -110,3 +110,22 @@ def test_java_langid_parity(lid, tmp_path):
     for i in range(len(texts)):
         assert java[i][0] == langs[i], (i, texts[i], java[i], langs[i])
         assert confs[i] == pytest.approx(java[i][1], abs=1e-4)
+
+
+def test_featureless_docs_unknown(lid):
+    """unknown_on_featureless=True (the pipeline mode): empty/featureless
+    docs → ('unknown', 0.0), matching the sampling engine.  The default
+    stays reference-faithful (argmax of class prior) — parity-tested
+    against the compiled Java in test_java_langid_parity."""
+    texts = ["", "short", "hello world how are you today"]
+    langs, conf = lid.classify_batch(texts, unknown_on_featureless=True)
+    assert langs[0] == "unknown" and conf[0] == 0.0
+    assert langs[1] == "unknown" and conf[1] == 0.0  # no DFA features
+    assert langs[2] == "en" and conf[2] > 0.5
+    # default mode: faithful (featureless -> prior argmax, nonzero conf)
+    dlangs, dconf = lid.classify_batch(texts)
+    assert dlangs[1] == "en" and dconf[1] > 0.0
+    # batch of only-empty exercises the maxlen==0 early return
+    langs2, conf2 = lid.classify_batch(["", ""], unknown_on_featureless=True)
+    assert langs2 == ["unknown", "unknown"]
+    assert (conf2 == 0.0).all()

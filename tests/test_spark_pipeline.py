@@ -165,6 +165,42 @@ def test_checkpoint_resume(spark, tiny_model, multilingual_pages, tmp_path):
     assert tot[1] == data.filter(F.col("keep")).count()
 
 
+def test_checkpoint_annotate_per_chunk(spark, tiny_model, multilingual_pages,
+                                       tmp_path):
+    """annotate-mode: each chunk's annotate() call sees ONLY that chunk's
+    rows (the bucket filter runs on raw pages, below the detector UDF) and
+    the union of chunk inputs covers every row exactly once — i.e. the
+    detector cost is O(n), not O(n × n_chunks)."""
+    cfg = QualityConfig(lang_allow=("en", "fr", "de"), min_words=10,
+                        min_stopword_hits=0, alpha_word_frac_min=0.5,
+                        mean_word_len_min=2.0)
+    pipe = QualityFilterPipeline(spark, tiny_model, cfg,
+                                 PipelineOptions(n_buckets=8))
+    seen_counts: list[int] = []
+    seen_urls: list[set] = []
+
+    def counting_annotate(df):
+        seen_counts.append(df.count())
+        seen_urls.append({r.url for r in df.select("url").collect()})
+        return pipe.annotate(df)
+
+    out = str(tmp_path / "out")
+    summary = run_checkpointed(
+        multilingual_pages, out, n_buckets=8, chunk_size=2,
+        annotate=counting_annotate,
+    )
+    n_total = multilingual_pages.count()
+    assert len(seen_counts) == 4                      # 8 buckets / chunk 2
+    assert sum(seen_counts) == n_total                # once per row, total
+    assert max(seen_counts) < n_total                 # never the full input
+    all_urls = set().union(*seen_urls)
+    assert len(all_urls) == n_total                   # disjoint cover
+    # output identical to legacy whole-frame mode
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == n_total
+    assert summary["buckets_committed_now"] == 8
+
+
 def test_trainer_matches_local_update(spark):
     texts = [
         "the quick brown fox",
