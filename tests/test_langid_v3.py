@@ -129,3 +129,27 @@ def test_featureless_docs_unknown(lid):
     langs2, conf2 = lid.classify_batch(["", ""], unknown_on_featureless=True)
     assert langs2 == ["unknown", "unknown"]
     assert (conf2 == 0.0).all()
+
+
+def test_pure_python_lzma_reader_roundtrip():
+    """models/langid_lzma.py (standard .lzma + minimal Java-serialization
+    parser) reproduces the committed npz arrays EXACTLY — the npz can
+    regenerate without a JDK (tools/gen_langid_npz.py)."""
+    import os
+
+    import numpy as np
+
+    from language_detection_spark.models.langid_lzma import load_model
+    from language_detection_spark.operators.langid_v3 import LangIdModel
+
+    src = (
+        "/root/reference/src/main/resources/com/carrotsearch/labs/langid/"
+        "langid.lzma"
+    )
+    if not os.path.exists(src):
+        pytest.skip("reference langid.lzma not available")
+    m = load_model(src)
+    ref = LangIdModel.load_npz()
+    assert m.langs == ref.langs
+    for attr in ("ptc_fc", "pc", "dsa", "out_off", "out_len", "out_val"):
+        assert np.array_equal(getattr(m, attr), getattr(ref, attr)), attr

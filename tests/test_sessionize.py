@@ -57,3 +57,70 @@ def test_sessionize_stream(spark, tmp_path):
         assert r.n_events == 5
         assert r.total_value == pytest.approx(5.0)
         assert (r.session_end - r.session_start).total_seconds() == 240
+
+
+def test_sessionize_event_time_late_data(spark, tmp_path):
+    """Replay with out-of-order data: a late event inside the watermark
+    delay merges into (and backdates) its session; the session closes only
+    when the WATERMARK passes end+gap — fully wall-clock independent.
+    Three checkpointed availableNow runs emulate a resuming stream."""
+    from language_detection_spark.streaming.sessionize import sessionize_event_time
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    schema = "user_id bigint, ts timestamp, value double"
+    T0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_once():
+        events = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            sessionize_event_time(events, gap_seconds=1800,
+                                  watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: user 1 events at 00:00 and 00:05 (+ a watermark clock user)
+    write_batch("b1", [
+        (1, T0, 1.0),
+        (1, T0 + pd.Timedelta(minutes=5), 1.0),
+        (99, T0 + pd.Timedelta(minutes=20), 0.0),
+    ])
+    run_once()
+    # run 2: OUT-OF-ORDER event at 00:02 (watermark so far < 00:02 → must
+    # merge), plus a clock event pushing the watermark to 01:00
+    write_batch("b2", [
+        (1, T0 + pd.Timedelta(minutes=2), 1.0),
+        (99, T0 + pd.Timedelta(minutes=90), 0.0),
+    ])
+    run_once()
+    # run 3: clock tick so the 01:00 watermark is APPLIED to timeouts
+    # (user 1 timeout = 00:05 + 30min = 00:35 < 01:00 → session closes)
+    write_batch("b3", [(99, T0 + pd.Timedelta(minutes=95), 0.0)])
+    run_once()
+
+    got = spark.read.parquet(out).collect()
+    closed = [r for r in got if r.user_id == 1 and r.status == "closed"]
+    assert len(closed) == 1, f"rows: {sorted((r.user_id, r.status, r.n_events) for r in got)}"
+    s = closed[0]
+    # the late 00:02 event merged: 3 events, window [00:00, 00:05]
+    assert s.n_events == 3
+    assert s.total_value == pytest.approx(3.0)
+    assert s.session_start == T0.to_pydatetime()
+    assert s.session_end == (T0 + pd.Timedelta(minutes=5)).to_pydatetime()
+    # open updates for user 1 never regressed the window
+    opens = [r for r in got if r.user_id == 1 and r.status == "open"]
+    assert opens and max(r.n_events for r in opens) == 3
