@@ -28,3 +28,20 @@ def salted_repartition(
     any host/file-level clustering of the input."""
     h = F.xxhash64(F.col(key_col), F.lit(salt))
     return df.repartition(num_partitions, h)
+
+
+def parallelize_scan(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Widen a too-narrow scan before a CPU-heavy UDF stage.
+
+    Spark splits file scans by BYTES (maxPartitionBytes), which is the
+    wrong unit ahead of per-row CPU work: a 1 MB parquet of 5k docs
+    arrives as ONE task and pins one core while the rest idle.  If the
+    current partition count is below cluster parallelism, repartition up;
+    at real scale (thousands of input splits) this is a no-op — the scan
+    already exceeds defaultParallelism, so no shuffle is added.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df

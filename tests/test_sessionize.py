@@ -124,3 +124,66 @@ def test_sessionize_event_time_late_data(spark, tmp_path):
     # open updates for user 1 never regressed the window
     opens = [r for r in got if r.user_id == 1 and r.status == "open"]
     assert opens and max(r.n_events for r in opens) == 3
+
+
+def test_sessionize_rocksdb_state_store(spark, tmp_path):
+    """The production state backend: RocksDB state store (bounded executor
+    memory for huge key cardinalities — the 10^12-doc shape) runs the same
+    event-time sessionization unchanged."""
+    from language_detection_spark.streaming.sessionize import sessionize_event_time
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "rdb_in"
+        src.mkdir()
+        schema = "user_id bigint, ts timestamp, value double"
+        T0 = pd.Timestamp("2024-01-01 00:00:00")
+        rows = [(1, T0, 1.0), (1, T0 + pd.Timedelta(minutes=5), 1.0),
+                (99, T0 + pd.Timedelta(minutes=90), 0.0)]
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts", "value"]), schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        out = str(tmp_path / "rdb_out")
+        q = (
+            sessionize_event_time(
+                spark.readStream.schema(schema).parquet(str(src)),
+                gap_seconds=1800, watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "rdb_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # second batch advances the watermark past user 1's end+gap
+        spark.createDataFrame(
+            pd.DataFrame([(99, T0 + pd.Timedelta(minutes=95), 0.0)],
+                         columns=["user_id", "ts", "value"]), schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = (
+            sessionize_event_time(
+                spark.readStream.schema(schema).parquet(str(src)),
+                gap_seconds=1800, watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "rdb_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(out).collect()
+        closed = [r for r in got if r.user_id == 1 and r.status == "closed"]
+        assert len(closed) == 1 and closed[0].n_events == 2
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -266,3 +266,27 @@ def test_pipeline_langid_v3_engine(spark, tiny_model, multilingual_pages):
     long_docs = [r for r in rows.values() if r.stat_n_words >= 50]
     correct = sum(1 for r in long_docs if r.lang == r.lang_src)
     assert correct / len(long_docs) >= 0.95
+
+
+def test_whole_file_scan_detect(spark, tiny_model, tmp_path):
+    """S6: one file = one document = one detection (--detectlang shape)."""
+    from language_detection_spark.sources.files import detect_files, read_whole_files
+
+    d = tmp_path / "files_in"
+    d.mkdir()
+    (d / "en.txt").write_text(
+        "This is a plain English document.\nIt has several lines of text "
+        "that all belong to one single file and one detection.\n"
+    )
+    (d / "fr.txt").write_text(
+        "Ceci est un document français.\nIl contient plusieurs lignes qui "
+        "appartiennent toutes au même fichier.\n"
+    )
+    files = read_whole_files(spark, str(d))
+    rows = {r.path.rsplit("/", 1)[-1]: r.text for r in files.collect()}
+    assert set(rows) == {"en.txt", "fr.txt"}
+    assert "several lines" in rows["en.txt"]  # newlines preserved, one row
+    out = {r.path.rsplit("/", 1)[-1]: r.lang
+           for r in detect_files(spark, str(d), tiny_model).collect()}
+    assert out["en.txt"] == "en"
+    assert out["fr.txt"] == "fr"
