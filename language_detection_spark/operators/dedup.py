@@ -80,6 +80,53 @@ def exact_dup_clusters(df: DataFrame, text_col: str = "text",
 
 # --- MinHash + LSH ---------------------------------------------------------
 
+# Affine min-hash permutations over the Mersenne prime 2^61-1: ONE md5 per
+# shingle, then sig_p = min over shingles of (a_p*h + b_p) folded mod-P —
+# pure int64 arithmetic (whole-stage codegen) instead of num_perm md5 calls
+# per shingle; at web scale hashing dominates MinHash cost, so this is a
+# ~num_perm× cut of the signature stage.  The fold uses 2^61 ≡ 1 (mod P)
+# so every intermediate fits int64 (largest ≈ 2^62.8); the final value is
+# fold(a*h+b), not a strict mod — identical on both engines, and min-hash
+# only needs a fixed injective-enough ordering, not canonical residues.
+_P61 = (1 << 61) - 1
+_M30 = (1 << 30) - 1
+_M31 = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return [
+        (int(rng.integers(1, 1 << 31)), int(rng.integers(0, _P61)))
+        for _ in range(num_perm)
+    ]
+
+
+def affine_perm(h: Column, a: int, b: int) -> Column:
+    """fold_P61(a*h + b) for h in [0, 2^60), a < 2^31, b < P — int64-safe."""
+    h_hi = F.shiftright(h, 31)
+    h_lo = h.bitwiseAND(F.lit(_M31))
+    t1 = F.lit(a) * h_hi                      # < 2^60
+    t2 = F.lit(a) * h_lo                      # < 2^62
+    # (t1 * 2^31) mod P via 2^61 ≡ 1: t1*2^31 = (t1>>30)*2^61 + (t1&M30)*2^31
+    t1m = F.shiftright(t1, 30) + F.shiftleft(t1.bitwiseAND(F.lit(_M30)), 31)
+    s = t1m + t2 + F.lit(b)                   # < 2^63
+    return F.shiftright(s, 61) + s.bitwiseAND(F.lit(_P61))
+
+
+def _affine_perm_sql(h_expr: str, a: int, b: int) -> str:
+    """The same fold, as portable SQL (DuckDB BIGINT ops error on overflow
+    rather than wrap, so the identical bounds argument applies)."""
+    return (
+        f"(({a} * (({h_expr}) >> 31)) >> 30)"
+        f" + ((({a} * (({h_expr}) >> 31)) & {_M30}) << 31)"
+        f" + ({a} * (({h_expr}) & {_M31})) + {b}"
+    )
+
+
+def affine_perm_sql(h_expr: str, a: int, b: int) -> str:
+    inner = f"({_affine_perm_sql(h_expr, a, b)})"
+    return f"(({inner} >> 61) + ({inner} & {_P61}))"
+
 
 def minhash_signatures(
     df: DataFrame,
@@ -88,18 +135,30 @@ def minhash_signatures(
     num_perm: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<bigint>[num_perm]) — min over shingles of
-    md5_int(p || ':' || shingle) per permutation p.  Docs with no shingles
-    are dropped (cannot be near-dup candidates)."""
+    """(id, sig: array<bigint>[num_perm]) — md5 each shingle ONCE, then
+    min over shingles of the p-th affine permutation.  Docs with no
+    shingles are dropped (cannot be near-dup candidates)."""
     sh = word_shingles(F.col(text_col), shingle_k).alias("shingles")
-    base = df.select(F.col(id_col).alias("id"), sh).filter(F.size("shingles") > 0)
-    def _perm_min(p: int):
-        # NB: the lambda must be unary — pyspark's transform feeds a second
-        # positional arg (the element index) to binary lambdas
-        prefix = F.lit(f"{p}:")
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: md5_int(F.concat(prefix, s)))
+    base = (
+        df.select(F.col(id_col).alias("id"), sh)
+        .filter(F.size("shingles") > 0)
+        .select(
+            "id",
+            # NB: unary lambda — pyspark's transform feeds the element
+            # index as a second positional arg to binary lambdas
+            F.transform(F.col("shingles"), lambda s: md5_int(s)).alias("hs"),
         )
+    )
+    params = _perm_params(num_perm)
+
+    def _mk_perm(a: int, b: int):
+        # STRICTLY unary lambda: default-valued params would make pyspark's
+        # transform pass the element index into them
+        return lambda h: affine_perm(h, a, b)
+
+    def _perm_min(p: int):
+        a, b = params[p]
+        return F.array_min(F.transform(F.col("hs"), _mk_perm(a, b)))
 
     sig = F.array(*[_perm_min(p) for p in range(num_perm)]).alias("sig")
     return base.select("id", sig)
