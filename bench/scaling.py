@@ -119,9 +119,7 @@ def main() -> None:
     bench_dir = ROOT / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     (bench_dir / "scaling.json").write_text(json.dumps(summary, indent=2))
-    md = f"""# BENCH/BASELINE — measured numbers
-
-## Scaling (north-rule N→4N evidence, sandbox protocol per BASELINE.md)
+    md = f"""## Scaling (north-rule N→4N evidence, sandbox protocol per BASELINE.md)
 
 Same spark-submit job (`jobs/run_pipeline.py`, full langid+filter+scrub
 pipeline, `--py-files dist/pipeline.zip`), same input
@@ -143,7 +141,30 @@ BASELINE.md):
 Full pipeline (detector + perplexity + rules + scrub + checkpointed
 write + audit) at local[{n_hi}]: **{t_hi} docs/sec**.
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    # splice ONLY the scaling/headline sections, preserving every other
+    # section of BENCH/BASELINE.md (accuracy, parity, ANN recall, ...)
+    path = bench_dir / "BASELINE.md"
+    header = "# BENCH/BASELINE — measured numbers\n\n"
+    if path.exists():
+        existing = path.read_text()
+        start = existing.find("## Scaling")
+        if start == -1:
+            start = len(existing)
+        # next "## " heading that is neither Scaling nor Headline
+        end = len(existing)
+        pos = start
+        skippable = ("## Scaling", "## Headline")
+        while True:
+            nxt = existing.find("\n## ", pos + 1)
+            if nxt == -1:
+                break
+            if not existing[nxt + 1 :].startswith(skippable):
+                end = nxt + 1
+                break
+            pos = nxt
+        path.write_text(existing[:start] + md + existing[end:])
+    else:
+        path.write_text(header + md)
     print(json.dumps(summary))
 
 
