@@ -269,3 +269,28 @@ def test_multimodal_plumbing(spark):
         decode_media(b"xx", "image", fake=False)
     with pytest.raises(NotImplementedError):
         resize_image(b"xx", 2, 2)
+
+
+def test_ivf_recall_floor(spark):
+    """IVF recall@5 on the clustered fixture; same protocol as the LSH
+    floor test — data-adapted partitions should be at least as good."""
+    from language_detection_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((40, 16)) * 3.0
+    vecs = np.repeat(centers, 10, axis=0) + 0.3 * rng.standard_normal((400, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i * 10]]) for i in range(20)],
+        "query_id bigint, query_vec array<double>",
+    )
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=3,
+                      sample_n=400).collect()
+    want = {(r.query_id, r.vec_id) for r in exact}
+    got = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, f"IVF recall@5 = {recall}"
