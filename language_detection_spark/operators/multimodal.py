@@ -125,10 +125,82 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB — requires an image codec; see decode_media."""
+    """STUB — requires an image codec; see decode_media.  The real resize
+    MATH is `resize_nearest` below (codec-independent); this wrapper only
+    lacks the encoded-bytes ↔ pixel-array conversion."""
     raise NotImplementedError("image resize requires PIL/opencv (not in container)")
 
 
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
-    """STUB — requires a video codec; see decode_media."""
+    """STUB — requires a video codec; see decode_media.  The real sampling
+    MATH is `sample_frame_indices` below (codec-independent)."""
     raise NotImplementedError("frame sampling requires ffmpeg (not in container)")
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W[, C]) array — the pure-array
+    transform a codec-equipped deployment plugs between decode and
+    feature extraction.  Vectorized index gather; no per-pixel Python."""
+    in_h, in_w = pixels.shape[:2]
+    if in_h == 0 or in_w == 0 or out_h <= 0 or out_w <= 0:
+        raise ValueError("empty input or non-positive output size")
+    rows = np.minimum((np.arange(out_h) * in_h) // out_h, in_h - 1)
+    cols = np.minimum((np.arange(out_w) * in_w) // out_w, in_w - 1)
+    return pixels[rows[:, None], cols[None, :]]
+
+
+def sample_frame_indices(n_frames: int, every_n: int, max_frames: int | None = None
+                         ) -> np.ndarray:
+    """Deterministic frame-sampling schedule: every ``every_n``-th frame,
+    optionally capped (uniformly re-thinned) at ``max_frames`` — the
+    schedule a video pipeline applies before decoding only those frames."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+    idx = np.arange(0, n_frames, every_n)
+    if max_frames is not None and idx.size > max_frames:
+        keep = np.linspace(0, idx.size - 1, max_frames).astype(np.int64)
+        idx = idx[keep]
+    return idx
+
+
+def resize_media(df: DataFrame, out_h: int = 32, out_w: int = 32,
+                 fake: bool = False) -> DataFrame:
+    """mapInPandas resize stage: decode (stub/fake) → reshape to the row's
+    (height, width) → `resize_nearest` → flattened pixels + new dims.
+    With ``fake=True`` the decode is the deterministic test decoder; the
+    Spark plumbing (schema, Arrow batching, per-row dims) and the resize
+    math are real either way."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("height", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("pixels", ArrayType(IntegerType())),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"media_id": [], "kind": [], "height": [], "width": [],
+                   "pixels": []}
+            for mid, kind, payload, w, h in zip(
+                batch["media_id"], batch["kind"], batch["payload"],
+                batch["width"], batch["height"],
+            ):
+                if kind != "image" or pd.isna(w) or pd.isna(h):
+                    continue
+                raw = decode_media(payload, kind, fake=fake)
+                # test decoder yields 256 pseudo-bytes; tile to the row's
+                # declared dims so the resize runs on real (h, w) geometry
+                need = int(h) * int(w)
+                px = np.resize(raw, need).reshape(int(h), int(w))
+                small = resize_nearest(px, out_h, out_w)
+                out["media_id"].append(int(mid))
+                out["kind"].append(kind)
+                out["height"].append(out_h)
+                out["width"].append(out_w)
+                out["pixels"].append([int(x) for x in small.ravel()])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_resize, out_schema)

@@ -294,3 +294,50 @@ def test_ivf_recall_floor(spark):
     got = {(r.query_id, r.vec_id) for r in approx}
     recall = len(want & got) / len(want)
     assert recall >= 0.8, f"IVF recall@5 = {recall}"
+
+
+def test_resize_math_and_schedule():
+    """The codec-independent transform math: nearest-neighbor resize
+    (exact index gather semantics) and frame-sampling schedules."""
+    from language_detection_spark.operators.multimodal import (
+        resize_nearest,
+        sample_frame_indices,
+    )
+
+    px = np.arange(36).reshape(6, 6)
+    small = resize_nearest(px, 3, 3)
+    assert small.shape == (3, 3)
+    assert small.tolist() == [[0, 2, 4], [12, 14, 16], [24, 26, 28]]
+    up = resize_nearest(px, 12, 12)
+    assert up.shape == (12, 12) and up[0, 0] == 0 and up[11, 11] == 35
+    # identity resize is exact
+    assert (resize_nearest(px, 6, 6) == px).all()
+    with pytest.raises(ValueError):
+        resize_nearest(px, 0, 3)
+    idx = sample_frame_indices(100, 7)
+    assert idx.tolist() == list(range(0, 100, 7))
+    capped = sample_frame_indices(1000, 1, max_frames=10)
+    assert len(capped) == 10 and capped[0] == 0 and capped[-1] == 999
+    with pytest.raises(ValueError):
+        sample_frame_indices(10, 0)
+
+
+def test_resize_media_stage(spark):
+    from language_detection_spark.operators.multimodal import (
+        resize_media,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=30)
+    out = resize_media(media, out_h=8, out_w=8, fake=True)
+    rows = out.collect()
+    # only image rows survive; all resized to 8x8 = 64 pixels
+    assert len(rows) == 10
+    for r in rows:
+        assert r.kind == "image" and r.height == 8 and r.width == 8
+        assert len(r.pixels) == 64
+        assert all(0 <= p <= 255 for p in r.pixels)
+    # deterministic across runs
+    again = {r.media_id: r.pixels for r in
+             resize_media(media, out_h=8, out_w=8, fake=True).collect()}
+    assert {r.media_id: r.pixels for r in rows} == again
