@@ -87,6 +87,11 @@ def main() -> None:
     timed("exact_dedup", lambda: q["exact_dup_clusters"](spark, sf_dir).count())
     timed("doc_stats", lambda: q["doc_stats"](spark, sf_dir).count())
     timed("similarity_topk", lambda: q["similarity_topk"](spark, sf_dir).count())
+    timed("ann_lsh_topk", lambda: q["ann_lsh_topk"](spark, sf_dir).count())
+    timed("ann_ivf_topk", lambda: q["ann_ivf_topk"](spark, sf_dir).count())
+    timed("simhash_dedup", lambda: q["simhash_near_dups"](spark, sf_dir).count())
+    timed("embedding_near_dups",
+          lambda: q["embedding_near_dups"](spark, sf_dir).count())
     timed("pii_scrub", lambda: q["pii_scrub"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

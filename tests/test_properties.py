@@ -95,3 +95,30 @@ def test_profile_json_roundtrip(texts):
         p.update(t)
     q = LangProfile.from_json(p.to_json())
     assert q.freq == p.freq and q.n_words == p.n_words and q.name == p.name
+
+
+@given(
+    h=st.integers(min_value=0, max_value=(1 << 60) - 1),
+    a=st.integers(min_value=1, max_value=(1 << 31) - 1),
+    b=st.integers(min_value=0, max_value=(1 << 61) - 2),
+)
+@settings(max_examples=500, deadline=None)
+def test_affine_perm_fold_congruent_and_int64_safe(h, a, b):
+    """The MinHash affine permutation's Mersenne-61 fold: (1) every
+    intermediate of the shift/mask formula stays below 2^63 (the int64
+    bound both Spark and DuckDB require — DuckDB errors on overflow,
+    Spark would silently wrap), and (2) the result is congruent to
+    a*h + b mod 2^61-1, evaluated with exact Python bigints."""
+    P = (1 << 61) - 1
+    M30 = (1 << 30) - 1
+    M31 = (1 << 31) - 1
+    h_hi = h >> 31
+    h_lo = h & M31
+    t1 = a * h_hi
+    t2 = a * h_lo
+    t1m = (t1 >> 30) + ((t1 & M30) << 31)
+    s = t1m + t2 + b
+    out = (s >> 61) + (s & P)
+    for name, v in [("t1", t1), ("t2", t2), ("t1m", t1m), ("s", s), ("out", out)]:
+        assert 0 <= v < (1 << 63), f"{name} overflows int64: {v}"
+    assert out % P == (a * h + b) % P
