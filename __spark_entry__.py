@@ -2,9 +2,11 @@
 
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose the operator registry from
-``language_detection_spark.queries`` (SQL-checkable entries carry a DuckDB
-oracle; sampling-detector / python-hash operators are rows-only and are
-golden-tested in tests/ instead).
+``language_detection_spark.queries``.  EVERY query carries a DuckDB
+oracle: independently re-derived SQL where the semantics are
+SQL-expressible, pinned VALUES snapshots (tools/gen_snapshots.py) for the
+deterministic model-driven queries, and lazily-built literal-baked SQL
+for data-dependent index structures (IVF centroids, LSH planes).
 """
 
 from __future__ import annotations

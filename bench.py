@@ -61,6 +61,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    def _cpu_stat():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:9]))
+
+    stat_before = _cpu_stat()
+
     def timed(name: str, fn):
         if only and name not in only:
             return
@@ -96,6 +102,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))
+    # hypervisor-steal fraction over the whole measured window: the sandbox
+    # is a shared tenant and CPU-bound numbers swing 1.5-3x with neighbor
+    # load (documented in BASELINE.md) — record the context with the number
+    ds = [b - a for a, b in zip(stat_before, _cpu_stat())]
+    steal_frac = round(ds[7] / max(sum(ds), 1), 4)
     out = {
         "metric": "langid+quality-filter pipeline wall time (headline: docs_per_sec)",
         "value": total,
@@ -105,6 +116,7 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
         "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count(),
+        "host_steal_frac": steal_frac,
     }
     spark.stop()
 
