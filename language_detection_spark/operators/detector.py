@@ -203,28 +203,33 @@ def _detect_from_keys(
     g_done = 0
     while True:
         g = min(_CHUNK_GROUPS, _MAX_GROUPS - g_done)
+        # the draw TENSOR keeps its full (T, g, 5) shape even after trials
+        # converge — RNG consumption must not depend on convergence, or
+        # per-doc outputs would change; compute is then masked to the
+        # still-active trials (values for those are bit-identical to the
+        # unmasked form: same draws, same weights, same prob rows)
         draws = inv[rng.integers(0, m, size=(n_trial, g, _GROUP))]
-        pf = Pu[draws]  # (T, g, 5, L) float32 gather
-        pf += weights[:, None, None, None]
-        gf = pf.prod(axis=2)   # (T, g, L) float32 — safe range, see above
-        cg = np.cumprod(gf, axis=1, dtype=np.float64)  # (T, g, L)
-        ck = prob[:, None, :] * cg
+        act = np.flatnonzero(~done)
+        pf = Pu[draws[act]]  # (A, g, 5, L) float32 gather
+        pf += weights[act, None, None, None]
+        gf = pf.prod(axis=2)   # (A, g, L) float32 — safe range, see above
+        cg = np.cumprod(gf, axis=1, dtype=np.float64)  # (A, g, L)
+        ck = prob[act, None, :] * cg
         ck /= ck.sum(axis=2, keepdims=True)
-        maxp = ck.max(axis=2)  # (T, g)
+        maxp = ck.max(axis=2)  # (A, g)
         at_cap = g_done + g >= _MAX_GROUPS
         hits = maxp > CONV_THRESHOLD
         if at_cap:
             hits[:, -1] = True
-        for t in range(n_trial):
-            if done[t]:
-                continue
-            h = np.flatnonzero(hits[t])
+        for j, t in enumerate(act):
+            h = np.flatnonzero(hits[j])
             if h.size:
-                result[t] = ck[t, h[0]]
+                result[t] = ck[j, h[0]]
                 done[t] = True
+            else:
+                prob[t] = ck[j, -1, :]
         if done.all():
             break
-        prob = np.where(done[:, None], prob, ck[:, -1, :])
         g_done += g
     return result.mean(axis=0)
 
