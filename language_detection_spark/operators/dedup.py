@@ -228,12 +228,48 @@ def jaccard_for_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    semi_filter: bool | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification join)."""
-    sets_df = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sset"),
-    )
+    """Exact shingle-set Jaccard for candidate pairs (verification join).
+
+    ``semi_filter`` controls the scale shape of the set build:
+
+    * True — shingle sets are built ONLY for documents appearing in a
+      candidate pair (broadcast left-semi on the pair ids, then the small
+      filtered frame is persisted and shared by the id_a/id_b joins).
+      At web scale candidates are a vanishing fraction of the corpus, so
+      this removes ~all of the verification's scan+shingle cost.  It does
+      serialize the set build behind candidate generation and adds two
+      small shuffles — measurable overhead on toy corpora (A/B at sf0.1:
+      ~+40% on a 5k-doc table, where the shingle savings are nil).
+    * False — sets derive straight from ``df`` (the build fuses into the
+      two verify joins; no extra stages).  Right below ~10^6 docs.
+    * None (default) — auto: True when the input scan is wide enough to
+      indicate a large corpus (>= 256 partitions), else False."""
+    if semi_filter is None:
+        semi_filter = df.rdd.getNumPartitions() >= 256
+    if semi_filter:
+        ids = (
+            pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sets_df = (
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+            .join(F.broadcast(ids), "id", "left_semi")
+            .select(
+                "id",
+                F.array_distinct(
+                    word_shingles(F.col("_t"), shingle_k)
+                ).alias("sset"),
+            )
+            .persist()
+        )
+    else:
+        sets_df = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sset"),
+        )
     out = (
         pairs.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
         .join(sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
@@ -257,13 +293,15 @@ def minhash_dedup_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    semi_filter: bool | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
-    verify → pairs ≥ threshold."""
+    verify → pairs ≥ threshold.  ``semi_filter``: see jaccard_for_pairs."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).persist()
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    verified = jaccard_for_pairs(cand, df, text_col, id_col, shingle_k)
+    verified = jaccard_for_pairs(cand, df, text_col, id_col, shingle_k,
+                                 semi_filter=semi_filter)
     return verified.filter(F.col("jaccard") >= threshold)
 
 

@@ -341,3 +341,16 @@ def test_resize_media_stage(spark):
     again = {r.media_id: r.pixels for r in
              resize_media(media, out_h=8, out_w=8, fake=True).collect()}
     assert {r.media_id: r.pixels for r in rows} == again
+
+
+def test_minhash_semi_filter_path_identical(spark, dup_docs):
+    """The scale-shape verification (broadcast semi-filter on candidate
+    ids + persisted set frame) returns exactly the same verified pairs as
+    the fused small-scale path."""
+    plain = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+             minhash_dedup_pairs(dup_docs, threshold=0.5,
+                                 semi_filter=False).collect()}
+    semi = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+            minhash_dedup_pairs(dup_docs, threshold=0.5,
+                                semi_filter=True).collect()}
+    assert plain == semi and plain
