@@ -43,8 +43,40 @@ class DetectorModel:
         order = np.argsort(keys, kind="stable")
         self.keys = np.asarray(keys, dtype=np.int64)[order]
         self.probs = np.asarray(probs, dtype=np.float64)[order]
-        self.counts = None if counts is None else np.asarray(counts, dtype=np.int64)[order]
         self.n_words = None if n_words is None else np.asarray(n_words, dtype=np.int64)
+        # counts are NOT materialized when reconstructible: probs were built
+        # as count / n_words[lang, gram_len-1], and count < 2^53, so
+        # rint(probs * denom) recovers them exactly — dropping the second
+        # (n_grams, n_langs) int64 matrix halves the broadcast payload
+        # (73 MB → 37 MB for the bundled 53 profiles; × executors at scale)
+        if counts is not None and self.n_words is None:
+            self._counts = np.asarray(counts, dtype=np.int64)[order]
+        else:
+            self._counts = None
+
+    def __getstate__(self):
+        # never ship the reconstructible counts cache in a broadcast —
+        # executors rebuild it locally on first perplexity use
+        state = self.__dict__.copy()
+        if state.get("n_words") is not None:
+            state["_counts"] = None
+        return state
+
+    @property
+    def counts(self):
+        """int64[n_grams, n_langs] raw freq counts (perplexity LM reuse) —
+        lazily reconstructed executor-side, see __init__."""
+        if self._counts is None and self.n_words is not None:
+            from ..functions.ngram import _SHIFT
+
+            ln = (
+                1
+                + (self.keys >= (1 << _SHIFT)).astype(np.int64)
+                + (self.keys >= (1 << (2 * _SHIFT))).astype(np.int64)
+            )
+            denom = self.n_words.T[ln - 1]  # (n_grams, n_langs)
+            self._counts = np.rint(self.probs * denom).astype(np.int64)
+        return self._counts
 
     # ------------------------------------------------------------------
     @classmethod
@@ -108,7 +140,8 @@ class DetectorModel:
             [self.langs[i] for i in idx],
             self.keys.copy(),
             self.probs[:, idx],
-            None if self.counts is None else self.counts[:, idx],
+            # counts reconstruct lazily from the sliced probs/n_words
+            None,
             None if self.n_words is None else self.n_words[idx],
         )
 

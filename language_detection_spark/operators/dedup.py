@@ -370,7 +370,12 @@ def simhash_near_dup_pairs(
     2007 permuted-table design (fewer, wider blocks over rotated copies)
     for h > ~4 — this blocked form is exact-recall and bounded for the
     moderate h used here."""
-    h = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh"))
+    # persist: (id, sh) is 16 bytes/doc, but every downstream branch
+    # (bucket sizes, both sides of the blocked self-join) would otherwise
+    # re-run the Arrow simhash UDF over the full corpus
+    h = df.select(
+        F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh")
+    ).persist()
     return simhash_pairs_from_hashes(h, max_hamming, n_tables, max_bucket_size)
 
 

@@ -239,3 +239,44 @@ def test_detector_edge_inputs():
     assert langs[7] == "unknown"
     assert len(langs) == len(texts)
     assert np.isfinite(confs).all()
+
+
+def test_counts_lazy_reconstruction_exact():
+    """counts are no longer shipped in the broadcast: rint(probs * denom)
+    must recover the original integer counts EXACTLY (counts < 2^53), and
+    the pickle payload must not contain the counts matrix."""
+    import pickle
+
+    import numpy as np
+
+    from language_detection_spark.models.factory import load_default_model
+    from language_detection_spark.models.profile import LangProfile
+
+    m = load_default_model()
+    # reference reconstruction straight from the profiles
+    import os
+
+    from language_detection_spark.config import DEFAULT_PROFILE_DIR as d
+    files = sorted(f for f in os.listdir(d) if not f.startswith("."))
+    want = {}
+    for f in files:
+        p = LangProfile.load(os.path.join(d, f))
+        li = m.langs.index(p.name)
+        for gram, count in p.freq.items():
+            want[(gram, li)] = count
+    from language_detection_spark.functions.ngram import pack_gram
+
+    got = m.counts
+    checked = 0
+    for (gram, li), count in list(want.items())[::37]:  # stride sample
+        row = int(m.lookup_rows(np.array([pack_gram(gram)], dtype=np.int64))[0])
+        if row < 0:
+            continue
+        assert got[row, li] == count, (gram, li)
+        checked += 1
+    assert checked > 1000
+    # the broadcast payload excludes the counts matrix (halved size)
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2._counts is None or m2.n_words is None
+    assert len(pickle.dumps(m)) < 45e6
+    assert (m2.counts == got).all()
