@@ -193,11 +193,13 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucketed self-join +
-    exact cosine verification."""
+    exact cosine verification.  The bucketed frame is persisted: both
+    sides of the self-join would otherwise re-run the Arrow bucket UDF
+    over the full corpus."""
     bucket = hyperplane_bucket_udf(dim, n_planes, seed)
     base = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", bucket(F.col("v")))
+    ).withColumn("bucket", bucket(F.col("v"))).persist()
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
