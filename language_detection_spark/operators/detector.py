@@ -221,15 +221,18 @@ def _detect_from_keys(
         hits = maxp > CONV_THRESHOLD
         if at_cap:
             hits[:, -1] = True
-        for j, t in enumerate(act):
-            h = np.flatnonzero(hits[j])
-            if h.size:
-                result[t] = ck[j, h[0]]
-                done[t] = True
-            else:
-                prob[t] = ck[j, -1, :]
-        if done.all():
+        # batched first-hit selection (argmax finds the first True)
+        first = hits.argmax(axis=1)                    # (A,)
+        has = hits[np.arange(act.size), first]
+        sel = np.flatnonzero(has)
+        if sel.size:
+            tsel = act[sel]
+            result[tsel] = ck[sel, first[sel]]
+            done[tsel] = True
+        rest = np.flatnonzero(~has)
+        if rest.size == 0:
             break
+        prob[act[rest]] = ck[rest, -1, :]
         g_done += g
     return result.mean(axis=0)
 
