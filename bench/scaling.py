@@ -65,7 +65,10 @@ def run_at(cores: int, pages_dir: str, out_dir: str) -> dict:
         "--conf", f"spark.sql.shuffle.partitions={2 * cores}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
-        "--conf", "spark.driver.memory=8g",
+        # memory scales WITH cores (1 GiB/core): a real N- vs 4N-executor
+        # cluster holds per-executor memory constant — a fixed total heap
+        # would starve the big "cluster" (4x less heap per core, GC wall)
+        "--conf", f"spark.driver.memory={max(cores, 4)}g",
         "--py-files", str(ROOT / "dist" / "pipeline.zip"),
         str(ROOT / "jobs" / "run_pipeline.py"),
         "--input", pages_dir,
@@ -74,9 +77,16 @@ def run_at(cores: int, pages_dir: str, out_dir: str) -> dict:
         "--chunk", "64",
         "--no-resume",
     ]
+    def _cpu_stat():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:9]))
+
+    st0 = _cpu_stat()
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
     wall = time.time() - t0
+    ds = [b - a for a, b in zip(st0, _cpu_stat())]
+    steal_frac = round(ds[7] / max(sum(ds), 1), 4)
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
         raise SystemExit(f"spark-submit at local[{cores}] failed")
@@ -84,6 +94,7 @@ def run_at(cores: int, pages_dir: str, out_dir: str) -> dict:
     res = json.loads(line)
     res["cores"] = cores
     res["launcher_wall_sec"] = round(wall, 2)
+    res["host_steal_frac"] = steal_frac
     return res
 
 

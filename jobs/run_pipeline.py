@@ -30,6 +30,9 @@ def main(argv=None) -> int:
                     choices=["sampling", "langid_v3"])
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--keep-text", action="store_true",
+                    help="also write the raw text column (default: only the "
+                    "scrubbed text ships — half the output bytes)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -70,6 +73,7 @@ def main(argv=None) -> int:
     summary = run_checkpointed(
         pages, args.output, n_buckets=args.buckets, chunk_size=args.chunk,
         run_id=args.run_id, annotate=pipe.annotate,
+        drop_columns=() if args.keep_text else ("text",),
     )
     wall = time.time() - t0
     from pyspark.sql import functions as F

@@ -21,6 +21,8 @@ detector, in two forms with the same semantics:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..config import (
@@ -237,6 +239,105 @@ def _detect_from_keys(
     return result.mean(axis=0)
 
 
+# docs per batched sampling call: large enough to amortize numpy dispatch,
+# small enough that the per-chunk tensors stay cache-resident under many
+# parallel workers (gather ≈ 75 KB/doc-chunk); env-tunable for bench sweeps
+_SUBBATCH = int(os.environ.get("LANGDETECT_SUBBATCH", "128"))
+
+
+def _detect_many_from_keys(
+    model: DetectorModel,
+    keys_list: list[np.ndarray],
+    rngs: list,
+    alpha: float,
+    n_trial: int,
+    prior: np.ndarray | None,
+) -> list[np.ndarray | None]:
+    """Batched twin of _detect_from_keys: the chunk loop's gather / prod /
+    cumprod / normalize run ONCE per chunk for every still-active
+    (document, trial) pair across the whole sub-batch, amortizing numpy
+    dispatch that dominates per-document cost on short texts.
+
+    Bitwise-identical to the scalar path: each document draws from its OWN
+    generator in the same order and shapes (weights first, then full
+    (T, g, 5) integer tensors per chunk regardless of trial convergence),
+    and every floating-point reduction runs per (doc, trial) pair over the
+    same operands in the same order — batching only changes which python
+    call issues them."""
+    n_docs = len(keys_list)
+    n_langs = model.probs.shape[1]
+    out: list[np.ndarray | None] = [None] * n_docs
+    base = prior if prior is not None else np.full(n_langs, 1.0 / n_langs)
+    docids: list[int] = []
+    invs: list[np.ndarray] = []
+    ms: list[int] = []
+    pu_parts: list[np.ndarray] = []
+    offs: list[int] = []
+    weights_l: list[np.ndarray] = []
+    off = 0
+    for d, keys in enumerate(keys_list):
+        if keys.size == 0:
+            continue
+        rows = model.lookup_rows(keys)
+        rows = rows[rows >= 0]
+        if rows.size == 0:
+            continue
+        ur, inv = np.unique(rows, return_inverse=True)
+        w = (
+            (alpha + rngs[d].standard_normal(n_trial) * ALPHA_WIDTH) / BASE_FREQ
+        ).astype(np.float32)
+        docids.append(d)
+        invs.append(inv.astype(np.int64) + off)
+        ms.append(rows.size)
+        pu_parts.append(model.probs[ur].astype(np.float32))
+        offs.append(off)
+        off += ur.size
+        weights_l.append(w)
+    if not docids:
+        return out
+    pu_cat = np.concatenate(pu_parts, axis=0)  # (U, L) float32, one table
+    n_adm = len(docids)
+    W = np.stack(weights_l)  # (n_adm, T)
+    prob = np.tile(base, (n_adm, n_trial, 1))  # (n_adm, T, L) float64
+    done = np.zeros((n_adm, n_trial), dtype=bool)
+    result = np.zeros((n_adm, n_trial, n_langs))
+    alive = np.arange(n_adm)
+    g_done = 0
+    while alive.size:
+        g = min(_CHUNK_GROUPS, _MAX_GROUPS - g_done)
+        draw_rows = np.empty((alive.size, n_trial, g, _GROUP), dtype=np.int64)
+        for j, a in enumerate(alive):
+            dr = rngs[docids[a]].integers(0, ms[a], size=(n_trial, g, _GROUP))
+            draw_rows[j] = invs[a][dr]
+        act_doc, act_tr = np.nonzero(~done[alive])  # active pairs (local)
+        ga = alive[act_doc]                          # global doc index
+        pf = pu_cat[draw_rows[act_doc, act_tr]]      # (P, g, 5, L) f32
+        pf += W[ga, act_tr][:, None, None, None]
+        gf = pf.prod(axis=2)                         # (P, g, L) f32
+        cg = np.cumprod(gf, axis=1, dtype=np.float64)
+        ck = prob[ga, act_tr][:, None, :] * cg
+        ck /= ck.sum(axis=2, keepdims=True)
+        maxp = ck.max(axis=2)                        # (P, g)
+        at_cap = g_done + g >= _MAX_GROUPS
+        hits = maxp > CONV_THRESHOLD
+        if at_cap:
+            hits[:, -1] = True
+        first = hits.argmax(axis=1)
+        has = hits[np.arange(act_doc.size), first]
+        sel = np.flatnonzero(has)
+        if sel.size:
+            result[ga[sel], act_tr[sel]] = ck[sel, first[sel]]
+            done[ga[sel], act_tr[sel]] = True
+        rest = np.flatnonzero(~has)
+        if rest.size:
+            prob[ga[rest], act_tr[rest]] = ck[rest, -1, :]
+        alive = alive[~done[alive].all(axis=1)]
+        g_done += g
+    for a, d in enumerate(docids):
+        out[d] = result[a].mean(axis=0)
+    return out
+
+
 def doc_seed(doc_key: str, salt: int = 0) -> int:
     """Stable per-document RNG seed from a document key (e.g. url)."""
     import zlib
@@ -262,15 +363,24 @@ def annotate_batch(
     lang_conf = np.zeros(len(texts))
     ppl = np.full(len(texts), np.nan)
     out_langs: list[str] = []
-    for i, (text, seed) in enumerate(zip(texts, seeds)):
-        if text is None:
-            out_langs.append(UNKNOWN_LANG)
-            continue
-        prepared = prepare_text(text, max_text_length)
-        purged = purge_latin_if_minor(prepared)
-        keys = extract_gram_keys(purged)
-        rng = np.random.Generator(np.random.Philox(key=int(seed)))
-        p = _detect_from_keys(model, keys, rng, alpha, n_trial, None)
+    keys_list = [
+        np.empty(0, dtype=np.int64)
+        if text is None
+        else extract_gram_keys(
+            purge_latin_if_minor(prepare_text(text, max_text_length))
+        )
+        for text in texts
+    ]
+    rngs = [np.random.Generator(np.random.Philox(key=int(s))) for s in seeds]
+    results: list[np.ndarray | None] = []
+    for lo in range(0, len(texts), _SUBBATCH):
+        hi = lo + _SUBBATCH
+        results.extend(
+            _detect_many_from_keys(
+                model, keys_list[lo:hi], rngs[lo:hi], alpha, n_trial, None
+            )
+        )
+    for i, p in enumerate(results):
         if p is None:
             out_langs.append(UNKNOWN_LANG)
             continue
@@ -278,7 +388,7 @@ def annotate_batch(
         if p[top] > PROB_THRESHOLD:
             out_langs.append(model.langs[top])
             lang_conf[i] = p[top]
-            v = perplexity_from_keys(model, keys, top, lm_alpha)
+            v = perplexity_from_keys(model, keys_list[i], top, lm_alpha)
             if v is not None:
                 ppl[i] = v
         else:
@@ -306,19 +416,22 @@ def detect_batch(
     out_langs: list[str] = []
     confs = np.zeros(len(texts))
     post = np.zeros((len(texts), n_langs))
-    for i, (text, seed) in enumerate(zip(texts, seeds)):
-        if text is None:
-            out_langs.append(UNKNOWN_LANG)
-            continue
-        rng = np.random.Generator(np.random.Philox(key=int(seed)))
-        p = _detect_one(
-            model,
-            prepare_text(text, max_text_length),
-            rng,
-            alpha,
-            n_trial,
-            prior,
+    keys_list = [
+        np.empty(0, dtype=np.int64)
+        if text is None
+        else extract_gram_keys(purge_latin_if_minor(prepare_text(text, max_text_length)))
+        for text in texts
+    ]
+    rngs = [np.random.Generator(np.random.Philox(key=int(s))) for s in seeds]
+    results: list[np.ndarray | None] = []
+    for lo in range(0, len(texts), _SUBBATCH):
+        hi = lo + _SUBBATCH
+        results.extend(
+            _detect_many_from_keys(
+                model, keys_list[lo:hi], rngs[lo:hi], alpha, n_trial, prior
+            )
         )
+    for i, p in enumerate(results):
         if p is None:
             out_langs.append(UNKNOWN_LANG)
             continue

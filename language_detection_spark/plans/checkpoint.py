@@ -42,6 +42,7 @@ def run_checkpointed(
     fail_after_chunks: int | None = None,
     annotate=None,
     bucket_src_col: str = "url",
+    drop_columns: tuple[str, ...] = (),
 ) -> dict:
     """Process all not-yet-committed buckets in chunks.
 
@@ -82,6 +83,10 @@ def run_checkpointed(
         if annotate is not None:
             # detector work is per-chunk: only this chunk's rows cross the UDF
             part = annotate(part)
+        if drop_columns:
+            # e.g. the raw text column: the output's canonical text is the
+            # scrubbed one — dropping the redundant copy halves write bytes
+            part = part.drop(*drop_columns)
         # co-locate each bucket into one task before the partitioned write —
         # otherwise every task emits a file per bucket (tasks × buckets small
         # files) and the driver-serial commit dominates at high parallelism
