@@ -239,10 +239,29 @@ def _detect_from_keys(
     return result.mean(axis=0)
 
 
-# docs per batched sampling call: large enough to amortize numpy dispatch,
-# small enough that the per-chunk tensors stay cache-resident under many
-# parallel workers (gather ≈ 75 KB/doc-chunk); env-tunable for bench sweeps
+# sub-batch packing for the batched sampling call: enough docs to amortize
+# numpy dispatch, but capped by TOTAL gram keys so the concatenated gather
+# table stays cache-resident (long documents have thousands of unique
+# grams each — 128 of them would build a 100+ MB table and turn the
+# per-chunk gathers DRAM-bound).  Batch composition never affects values:
+# every document keeps its own RNG stream and per-pair reductions.
 _SUBBATCH = int(os.environ.get("LANGDETECT_SUBBATCH", "128"))
+_SUBBATCH_KEYS = int(os.environ.get("LANGDETECT_SUBBATCH_KEYS", "64000"))
+
+
+def _pack_subbatches(keys_list):
+    """Contiguous (lo, hi) ranges: ≤ _SUBBATCH docs and ≤ _SUBBATCH_KEYS
+    total keys per range (single oversized docs get their own range)."""
+    ranges = []
+    lo, total = 0, 0
+    for i, k in enumerate(keys_list):
+        n = k.size
+        if i > lo and (i - lo >= _SUBBATCH or total + n > _SUBBATCH_KEYS):
+            ranges.append((lo, i))
+            lo, total = i, 0
+        total += n
+    ranges.append((lo, len(keys_list)))
+    return ranges
 
 
 def _detect_many_from_keys(
@@ -373,8 +392,7 @@ def annotate_batch(
     ]
     rngs = [np.random.Generator(np.random.Philox(key=int(s))) for s in seeds]
     results: list[np.ndarray | None] = []
-    for lo in range(0, len(texts), _SUBBATCH):
-        hi = lo + _SUBBATCH
+    for lo, hi in _pack_subbatches(keys_list):
         results.extend(
             _detect_many_from_keys(
                 model, keys_list[lo:hi], rngs[lo:hi], alpha, n_trial, None
@@ -424,8 +442,7 @@ def detect_batch(
     ]
     rngs = [np.random.Generator(np.random.Philox(key=int(s))) for s in seeds]
     results: list[np.ndarray | None] = []
-    for lo in range(0, len(texts), _SUBBATCH):
-        hi = lo + _SUBBATCH
+    for lo, hi in _pack_subbatches(keys_list):
         results.extend(
             _detect_many_from_keys(
                 model, keys_list[lo:hi], rngs[lo:hi], alpha, n_trial, prior
