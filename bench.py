@@ -67,12 +67,17 @@ def main() -> None:
 
     stat_before = _cpu_stat()
 
+    from language_detection_spark.plans.caching import release_tracked_caches
+
     def timed(name: str, fn):
         if only and name not in only:
             return
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        # dedup/ANN operators persist intermediates for the action's
+        # lifetime; release between queries so caches don't stack up
+        release_tracked_caches()
 
     pipe = QualityFilterPipeline(
         spark,
@@ -170,6 +175,12 @@ def _pinned_pipeline(pages_dir: str, n_docs: int, cores: int = 16) -> dict:
         "docs_per_sec": res.get("docs_per_sec"),
         "wall_sec": res.get("wall_sec"),
         "rows_kept": (res.get("metrics") or {}).get("rows_kept"),
+        # this rate divides by a wall that INCLUDES JVM/spark-submit startup
+        # and the checkpointed partitioned write+audit protocol; the
+        # steady-state pipeline rates in BENCH/scaling.json amortize startup
+        # over 2x the docs — the two are not directly comparable
+        "note": "wall includes JVM startup + checkpointed write/audit; "
+                "see BENCH/scaling.json for steady-state scaling rates",
     }
 
 

@@ -64,7 +64,11 @@ class QualityFilterPipeline:
         # html never crosses the shuffle — biggest column, project it away
         keep_cols = [c for c in df.columns if c != "html"]
         df = df.select(*keep_cols)
-        df = df.withColumn("bucket", bucket_col("url", self.opts.n_buckets))
+        # a caller (run_checkpointed) may have bucketed already — recomputing
+        # with a different modulus would route rows outside the committed
+        # chunk and let dynamic overwrite clobber committed partitions
+        if "bucket" not in df.columns:
+            df = df.withColumn("bucket", bucket_col("url", self.opts.n_buckets))
         if self.opts.repartition:
             df = salted_repartition(df, self.opts.repartition, "url",
                                     self.opts.seed_salt)

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
+from ..plans.caching import persist_tracked
+
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns, JVM-side."""
@@ -199,7 +201,7 @@ def embedding_near_dup_pairs(
     bucket = hyperplane_bucket_udf(dim, n_planes, seed)
     base = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", bucket(F.col("v"))).persist()
+    ).withColumn("bucket", bucket(F.col("v"))).transform(persist_tracked)
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))

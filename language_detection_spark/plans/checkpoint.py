@@ -71,6 +71,9 @@ def run_checkpointed(
     if annotate is not None:
         from .repartition import bucket_col
 
+        # this bucket is authoritative for the commit protocol; annotate()
+        # implementations must NOT recompute it (QualityFilterPipeline
+        # keeps an existing bucket column for exactly this reason)
         source = source.withColumn(
             "bucket", bucket_col(bucket_src_col, n_buckets)
         )

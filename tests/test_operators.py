@@ -113,6 +113,41 @@ def test_simhash_blocking_full_recall(spark, max_hamming):
     assert got == want
 
 
+def test_simhash_col_matches_udf(spark):
+    """The pure-expression simhash (production path) is bit-identical to
+    the Arrow-UDF reference on adversarial inputs: empties, whitespace-only,
+    repeated tokens (occurrence voting), unicode, exact-tie bit votes."""
+    from language_detection_spark.operators.dedup import simhash_col, simhash_udf
+
+    texts = [
+        "",
+        "   ",
+        "a",
+        "a a a",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog the the",
+        "tab\tand\nnewline   runs",
+        "héllo wörld ünïcode tokens voilà",
+        "x y",  # two tokens → every bit vote is a ±1 pair or a 2/0 split
+        " leading and trailing  ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {
+        r.id: (r.e, r.u)
+        for r in df.select(
+            "id",
+            simhash_col("text").alias("e"),
+            simhash_udf()(F.col("text")).alias("u"),
+        ).collect()
+    }
+    for i in range(len(texts)):
+        e, u = got[i]
+        assert e == u, f"text {i!r}: expr {e} != udf {u}"
+    assert got[0][0] == 0 and got[1][0] == 0
+
+
 def test_simhash_under_tabled_raises(spark):
     from language_detection_spark.operators.dedup import simhash_pairs_from_hashes
 

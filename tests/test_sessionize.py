@@ -126,6 +126,100 @@ def test_sessionize_event_time_late_data(spark, tmp_path):
     assert opens and max(r.n_events for r in opens) == 3
 
 
+def test_merge_gap_sessions_unit():
+    """Pure interval-merge semantics: split on gaps >= gap, fuse under it,
+    bridge when a middle event lands between two candidates."""
+    from language_detection_spark.streaming.sessionize import _merge_gap_sessions
+
+    g = 1000
+    # two singletons exactly gap apart stay separate (strict <)
+    assert _merge_gap_sessions([(0, 0, 1, 1.0), (1000, 1000, 1, 1.0)], g) == [
+        (0, 0, 1, 1.0),
+        (1000, 1000, 1, 1.0),
+    ]
+    # under the gap they fuse
+    assert _merge_gap_sessions([(0, 0, 1, 1.0), (999, 999, 1, 2.0)], g) == [
+        (0, 999, 2, 3.0)
+    ]
+    # a bridging event fuses two previously disjoint candidates
+    assert _merge_gap_sessions(
+        [(0, 0, 1, 1.0), (1500, 1500, 1, 1.0), (800, 800, 1, 1.0)], g
+    ) == [(0, 1500, 3, 3.0)]
+
+
+def test_sessionize_event_time_same_batch_gap_split(spark, tmp_path):
+    """Two events of one user separated by more than the gap must become
+    TWO sessions even when they arrive in the same micro-batch (the round-2
+    implementation fused them — ADVICE regression)."""
+    from language_detection_spark.streaming.sessionize import sessionize_event_time
+
+    src = tmp_path / "gap_in"
+    src.mkdir()
+    out = str(tmp_path / "gap_out")
+    ckpt = str(tmp_path / "gap_ckpt")
+    schema = "user_id bigint, ts timestamp, value double"
+    T0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def run_once():
+        q = (
+            sessionize_event_time(
+                spark.readStream.schema(schema).parquet(str(src)),
+                gap_seconds=1800,
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # ONE batch: user 1 at 00:00, 00:05 (session A) and 02:00, 02:03
+    # (session B — 115 min after A's end, far beyond the 30-min gap)
+    rows = [
+        (1, T0, 1.0),
+        (1, T0 + pd.Timedelta(minutes=5), 1.0),
+        (1, T0 + pd.Timedelta(minutes=120), 1.0),
+        (1, T0 + pd.Timedelta(minutes=123), 1.0),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value"]), schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    # clock ticks: push the watermark past B's end+gap (02:33)
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(99, T0 + pd.Timedelta(minutes=200), 0.0)],
+            columns=["user_id", "ts", "value"],
+        ),
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(99, T0 + pd.Timedelta(minutes=205), 0.0)],
+            columns=["user_id", "ts", "value"],
+        ),
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+
+    got = spark.read.parquet(out).collect()
+    closed = sorted(
+        ((r.session_start, r.session_end, r.n_events) for r in got
+         if r.user_id == 1 and r.status == "closed")
+    )
+    A = (T0.to_pydatetime(), (T0 + pd.Timedelta(minutes=5)).to_pydatetime(), 2)
+    B = (
+        (T0 + pd.Timedelta(minutes=120)).to_pydatetime(),
+        (T0 + pd.Timedelta(minutes=123)).to_pydatetime(),
+        2,
+    )
+    assert closed == [A, B], f"closed sessions: {closed}"
+
+
 def test_sessionize_rocksdb_state_store(spark, tmp_path):
     """The production state backend: RocksDB state store (bounded executor
     memory for huge key cardinalities — the 10^12-doc shape) runs the same
