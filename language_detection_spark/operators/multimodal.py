@@ -2,12 +2,16 @@
 typed metadata, plus the Spark-side plumbing (schema, partitioning, Arrow
 batch shapes) for decode / feature-extract / resize / frame-sample.
 
-The actual media codecs are NOT available in this environment, so the
-decode step is stubbed: ``decode_media`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a clearly-marked deterministic fake
-decoder (seeded from the payload bytes) produces stable pseudo-content.
-Everything around the stub — column schemas, mapInPandas signatures,
-batched numpy feature math, partition behavior — is real and tested.
+Decode is REAL for uncompressed containers — BMP (24-bit), PPM/PGM, WAV
+(PCM16) — via the pure-numpy parsers in functions/codecs.py; ``decode_media``
+sniffs the payload magic and decodes those without any codec library.
+COMPRESSED formats (JPEG/PNG/MP4/…) need PIL/ffmpeg, which are NOT in this
+environment, so for unrecognized payloads ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a clearly-marked
+deterministic fake decoder (seeded from the payload bytes) produces stable
+pseudo-content.  Everything around that one stub — column schemas,
+mapInPandas signatures, batched numpy feature math, resize/frame-sample
+math, partition behavior — is real and tested on real payload bytes.
 """
 
 from __future__ import annotations
@@ -17,6 +21,8 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+
+from ..functions import codecs
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -75,19 +81,69 @@ def synth_media_df(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFra
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
-    """Decode encoded media bytes → raw sample array.
+def synth_real_media_df(
+    spark: SparkSession, n: int = 100, seed: int = 42
+) -> DataFrame:
+    """Synthetic media table whose payloads are GENUINE encoded files:
+    24-bit BMP images (deterministic gradient + seeded noise pixels) and
+    PCM16 WAV clips (seeded sine + noise).  Decoding these exercises the
+    real pure-numpy codec path end-to-end — no fake decoder involved."""
+    from ..functions import codecs as _c
 
-    Real decoding needs PIL/ffmpeg/soundfile, none of which exist in this
-    container — so the real branch is an explicit stub.  The ``fake=True``
-    branch is a DETERMINISTIC FAKE: pseudo-samples seeded from the payload
-    digest, stable across runs/machines, used to exercise the pipeline
-    plumbing end-to-end.
-    """
+    rows = []
+    for i in range(n):
+        rng = np.random.Generator(np.random.Philox(key=seed * 1_000_003 + i))
+        if i % 2 == 0:
+            h, w = 24 + (i % 5) * 8, 32 + (i % 7) * 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((yy * 255) // max(h - 1, 1) + (xx * 255) // max(w - 1, 1)) // 2
+            px = np.clip(
+                base[..., None]
+                + rng.integers(-24, 25, size=(h, w, 3)),
+                0,
+                255,
+            ).astype(np.uint8)
+            payload = _c.encode_bmp(px)
+            rows.append((i, "image", bytearray(payload), w, h, None, 1))
+        else:
+            rate = 16000
+            t = np.arange(2048, dtype=np.float64) / rate
+            freq = 220.0 * (1 + i % 8)
+            sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(
+                2048
+            )
+            samples = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+            payload = _c.encode_wav(samples, rate)
+            rows.append((i, "audio", bytearray(payload), None, None, rate, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
+    """Decode encoded media bytes → flat uint8 sample array.
+
+    REAL for uncompressed containers (sniffed by magic bytes, no codec
+    library needed): 24-bit BMP and binary PPM/PGM decode to their pixel
+    bytes; PCM16 WAV decodes to samples mapped onto uint8 via
+    ``(s + 32768) >> 8`` (a fixed affine quantization, so downstream byte
+    stats stay deterministic).  Compressed formats need PIL/ffmpeg — not in
+    this container — so unrecognized payloads raise unless ``fake=True``,
+    which selects the DETERMINISTIC FAKE decoder (pseudo-samples seeded
+    from the payload digest; stable across runs/machines)."""
+    fmt = codecs.sniff_format(payload)
+    if fmt == "bmp":
+        return codecs.decode_bmp(payload).ravel()
+    if fmt in ("ppm", "pgm"):
+        return codecs.decode_ppm(payload).ravel()
+    if fmt == "wav":
+        samples, _rate = codecs.decode_wav(payload)
+        return (
+            ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8).ravel()
+        )
     if not fake:
         raise NotImplementedError(
-            "media codecs are unavailable in this environment; "
-            "pass fake=True for the deterministic test decoder"
+            "compressed media codecs are unavailable in this environment "
+            "(BMP/PPM/PGM/WAV decode natively); pass fake=True for the "
+            "deterministic test decoder"
         )
     digest = hashlib.sha256(bytes(payload)).digest()
     seed = int.from_bytes(digest[:8], "big")
@@ -125,10 +181,20 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB — requires an image codec; see decode_media.  The real resize
-    MATH is `resize_nearest` below (codec-independent); this wrapper only
-    lacks the encoded-bytes ↔ pixel-array conversion."""
-    raise NotImplementedError("image resize requires PIL/opencv (not in container)")
+    """Encoded image → nearest-neighbor resize → re-encoded SAME format.
+    REAL for BMP and PPM/PGM (pure-numpy codecs); compressed formats would
+    need PIL/opencv, which are not in this container."""
+    fmt = codecs.sniff_format(payload)
+    if fmt == "bmp":
+        px = codecs.decode_bmp(payload)
+        return codecs.encode_bmp(resize_nearest(px, height, width))
+    if fmt in ("ppm", "pgm"):
+        px = codecs.decode_ppm(payload)
+        return codecs.encode_ppm(resize_nearest(px, height, width))
+    raise NotImplementedError(
+        "compressed image resize requires PIL/opencv (not in container); "
+        "BMP/PPM/PGM resize natively"
+    )
 
 
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
@@ -190,11 +256,17 @@ def resize_media(df: DataFrame, out_h: int = 32, out_w: int = 32,
             ):
                 if kind != "image" or pd.isna(w) or pd.isna(h):
                     continue
-                raw = decode_media(payload, kind, fake=fake)
-                # test decoder yields 256 pseudo-bytes; tile to the row's
-                # declared dims so the resize runs on real (h, w) geometry
-                need = int(h) * int(w)
-                px = np.resize(raw, need).reshape(int(h), int(w))
+                fmt = codecs.sniff_format(payload)
+                if fmt == "bmp":
+                    px = codecs.decode_bmp(payload)  # real (H, W, 3) geometry
+                elif fmt in ("ppm", "pgm"):
+                    px = codecs.decode_ppm(payload)
+                else:
+                    raw = decode_media(payload, kind, fake=fake)
+                    # test decoder yields 256 pseudo-bytes; tile to the row's
+                    # declared dims so the resize runs on real (h, w) geometry
+                    need = int(h) * int(w)
+                    px = np.resize(raw, need).reshape(int(h), int(w))
                 small = resize_nearest(px, out_h, out_w)
                 out["media_id"].append(int(mid))
                 out["kind"].append(kind)
