@@ -57,6 +57,66 @@ def test_stream_available_now(spark, tiny_model, stream_input, tmp_path):
     assert spark.read.parquet(out).count() == 40
 
 
+def test_stream_foreach_batch_reconciles_with_batch(
+    spark, tiny_model, stream_input, tmp_path
+):
+    """The full annotate+rules+scrub pipeline inside foreachBatch with the
+    data/audit commit protocol, reconciled row-for-row against the BATCH
+    pipeline on the same input: same kept urls, same scrubbed text, and
+    audit totals that match the committed data."""
+    from language_detection_spark.operators.pipeline import (
+        PipelineOptions,
+        QualityFilterPipeline,
+    )
+    from language_detection_spark.streaming.stream_job import run_stream_with_audit
+
+    input_dir, schema = stream_input
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    cfg = QualityConfig(
+        lang_allow=("en", "fr"), min_words=10, min_stopword_hits=0,
+        alpha_word_frac_min=0.5, mean_word_len_min=2.0,
+    )
+    opts = PipelineOptions(n_buckets=8)
+    totals = run_stream_with_audit(
+        spark, tiny_model, input_dir, schema, out, ckpt, cfg, opts,
+        max_files_per_trigger=1,  # force multiple micro-batches
+    )
+    assert totals["rows_in"] == 40 and totals["n_batches"] >= 1
+
+    data = spark.read.parquet(f"{out}/data")
+    audit = spark.read.parquet(f"{out}/audit")
+    # audit totals describe exactly the committed data
+    assert data.count() == totals["rows_in"]
+    assert audit.agg(F.sum("rows_in")).first()[0] == totals["rows_in"]
+    assert (
+        audit.agg(F.sum("rows_kept")).first()[0]
+        == data.filter("keep").count()
+        == totals["rows_kept"]
+    )
+
+    # batch pipeline on the same input → identical per-url decisions + text
+    batch = QualityFilterPipeline(spark, tiny_model, cfg, opts).annotate(
+        spark.read.parquet(input_dir)
+    )
+    b = {
+        r.url: (r.keep, r.lang, r.scrubbed_text)
+        for r in batch.select("url", "keep", "lang", "scrubbed_text").collect()
+    }
+    s = {
+        r.url: (r.keep, r.lang, r.scrubbed_text)
+        for r in data.select("url", "keep", "lang", "scrubbed_text").collect()
+    }
+    assert s == b
+
+    # restart with the same checkpoint: no new source epochs, nothing added
+    again = run_stream_with_audit(
+        spark, tiny_model, input_dir, schema, out, ckpt, cfg, opts
+    )
+    assert again["n_batches"] == 0
+    assert spark.read.parquet(f"{out}/data").count() == 40
+
+
 def test_windowed_audit_stream(spark, tiny_model, stream_input, tmp_path):
     input_dir, schema = stream_input
     cfg = QualityConfig(
