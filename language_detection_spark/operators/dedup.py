@@ -296,12 +296,14 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     semi_filter: bool | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
-    verify → pairs ≥ threshold.  ``semi_filter``: see jaccard_for_pairs."""
+    verify → pairs ≥ threshold.  ``semi_filter``: see jaccard_for_pairs;
+    ``max_bucket_size``: see lsh_candidate_pairs (boilerplate-cluster cap)."""
     rows_per_band = num_perm // bands
     sigs = persist_tracked(minhash_signatures(df, text_col, id_col, num_perm, shingle_k))
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
     verified = jaccard_for_pairs(cand, df, text_col, id_col, shingle_k,
                                  semi_filter=semi_filter)
     return verified.filter(F.col("jaccard") >= threshold)
