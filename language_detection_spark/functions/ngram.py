@@ -120,6 +120,92 @@ def extract_ngrams_scanner(text: str) -> list[str]:
     return out
 
 
+def extract_gram_keys_batch(texts: list[str]) -> list[np.ndarray]:
+    """Batched twin of :func:`extract_gram_keys`: one vectorized pass over
+    ALL documents' characters instead of ~20 numpy dispatches per document
+    (which dominate cost on short texts).
+
+    Identical output per document — same keys, same order (1-grams in
+    position order, then 2-grams, then 3-grams) — so downstream draw
+    indexing stays bitwise-reproducible.  Construction: every document is
+    prefixed with one space (the scanner's initial " " buffer, exactly the
+    per-doc pad); that separator position itself is masked out of emission,
+    which reproduces per-doc behavior at both boundaries (the space still
+    participates as the LEADING unit of the next doc's word-boundary grams,
+    and no gram is emitted AT it, matching the end-of-text cutoff)."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return []
+    units = [str_to_utf16_units(t) for t in texts]
+    lens = np.fromiter((u.size for u in units), dtype=np.int64, count=n_docs)
+    seg = lens + 1  # +1 pad space per doc
+    total = int(seg.sum())
+    S = np.empty(total, dtype=np.uint32)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(seg[:-1], out=starts[1:])
+    S[starts] = SPACE
+    body = np.concatenate([u for u in units if u.size]) if lens.sum() else (
+        np.empty(0, dtype=np.uint32)
+    )
+    mask_pad = np.zeros(total, dtype=bool)
+    mask_pad[starts] = True
+    S[~mask_pad] = CHAR_FOLD[body]
+
+    is_sp = S == SPACE
+    u8 = IS_UPPER[S]
+    m = S.size
+    idx = np.arange(m, dtype=np.int64)
+    # treat every pad as a reset anchor exactly like the per-doc S[0]
+    last_sp = np.maximum.accumulate(np.where(is_sp, idx, 0))
+    jsp = np.empty(m, dtype=np.int64)
+    jsp[0] = 0
+    jsp[1:] = last_sp[:-1]
+    r = np.minimum(3, idx - jsp + 1)
+    both_sp = np.zeros(m, dtype=bool)
+    both_sp[1:] = is_sp[1:] & is_sp[:-1]
+    r[both_sp] = 1
+    # r must not look past a doc's own pad: positions 0..2 of each doc get
+    # capped by construction (pad is a space, so jsp >= pad index) — no
+    # cross-doc run can survive the pad, same as the per-doc arrays.
+
+    ok = np.empty(m, dtype=bool)
+    ok[0] = False
+    ok[1:] = ~(u8[1:] & u8[:-1])
+    ok[mask_pad] = False  # never emit AT a pad position (end-of-doc cutoff)
+
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), seg)
+    S64 = S.astype(np.int64)
+    out_per_n: list[tuple[np.ndarray, np.ndarray]] = []
+    m1 = ok & ~is_sp
+    out_per_n.append((doc_of[m1], S64[m1]))
+    m2 = ok & (r >= 2)
+    i2 = idx[m2]
+    out_per_n.append((doc_of[m2], S64[i2 - 1] | (S64[i2] << _SHIFT)))
+    m3 = ok & (r >= 3)
+    i3 = idx[m3]
+    out_per_n.append(
+        (
+            doc_of[m3],
+            S64[i3 - 2] | (S64[i3 - 1] << _SHIFT) | (S64[i3] << (2 * _SHIFT)),
+        )
+    )
+    # per-doc arrays: concat the three per-n segments (each already ordered
+    # by doc then position — same grouping as the per-doc extractor)
+    bounds = [
+        np.searchsorted(d, np.arange(n_docs + 1)) for d, _ in out_per_n
+    ]
+    result = []
+    for d in range(n_docs):
+        parts = [
+            keys[b[d] : b[d + 1]] for (_, keys), b in zip(out_per_n, bounds)
+        ]
+        result.append(
+            np.concatenate(parts) if any(p.size for p in parts)
+            else np.empty(0, dtype=np.int64)
+        )
+    return result
+
+
 def extract_gram_keys(text: str) -> np.ndarray:
     """Vectorized gram extraction → int64 key array (all gram *instances*,
     grouped by n rather than by position; the multiset matches the scanner).

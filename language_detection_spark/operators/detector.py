@@ -37,7 +37,12 @@ from ..config import (
     UNKNOWN_LANG,
 )
 from ..functions.javarandom import JavaRandom
-from ..functions.ngram import extract_gram_keys, extract_ngrams_scanner, pack_gram
+from ..functions.ngram import (
+    extract_gram_keys,
+    extract_gram_keys_batch,
+    extract_ngrams_scanner,
+    pack_gram,
+)
 from ..functions.normalize import prepare_text, purge_latin_if_minor
 from ..models.factory import DetectorModel
 
@@ -247,6 +252,9 @@ def _detect_from_keys(
 # every document keeps its own RNG stream and per-pair reductions.
 _SUBBATCH = int(os.environ.get("LANGDETECT_SUBBATCH", "128"))
 _SUBBATCH_KEYS = int(os.environ.get("LANGDETECT_SUBBATCH_KEYS", "64000"))
+# chunks of draws fetched per integers() call on multi-chunk documents
+# (prefix property makes slices bitwise-equal to separate calls)
+_PREFETCH_CHUNKS = int(os.environ.get("LANGDETECT_PREFETCH_CHUNKS", "3"))
 
 
 def _pack_subbatches(keys_list):
@@ -287,47 +295,86 @@ def _detect_many_from_keys(
     n_langs = model.probs.shape[1]
     out: list[np.ndarray | None] = [None] * n_docs
     base = prior if prior is not None else np.full(n_langs, 1.0 / n_langs)
+    # batched prep: ONE searchsorted over the concatenated keys and ONE
+    # unique over doc-offset row ids replace the per-doc lookup/unique loop
+    # (which dominates prep cost on short documents).  Offsetting rows by
+    # doc*n_rows makes the global sorted-unique identical to concatenating
+    # the per-doc uniques in doc order — same pu_cat, same inv values.
+    sizes = np.fromiter((k.size for k in keys_list), dtype=np.int64,
+                        count=n_docs)
+    n_rows_model = model.probs.shape[0]
+    if sizes.sum():
+        rows_cat = model.lookup_rows(np.concatenate(keys_list))
+    else:
+        rows_cat = np.empty(0, dtype=np.int64)
+    doc_cat = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
+    valid = rows_cat >= 0
+    vdoc = doc_cat[valid]
+    vvals = vdoc * n_rows_model + rows_cat[valid]
+    gu, ginv = np.unique(vvals, return_inverse=True)
+    pu_cat = model.probs[gu % n_rows_model].astype(np.float32)
+    ms_all = np.bincount(vdoc, minlength=n_docs)  # valid rows per doc
+    seg_hi = np.cumsum(ms_all)
+    seg_lo = seg_hi - ms_all
     docids: list[int] = []
     invs: list[np.ndarray] = []
     ms: list[int] = []
-    pu_parts: list[np.ndarray] = []
-    offs: list[int] = []
     weights_l: list[np.ndarray] = []
-    off = 0
-    for d, keys in enumerate(keys_list):
-        if keys.size == 0:
+    for d in range(n_docs):
+        if ms_all[d] == 0:
             continue
-        rows = model.lookup_rows(keys)
-        rows = rows[rows >= 0]
-        if rows.size == 0:
-            continue
-        ur, inv = np.unique(rows, return_inverse=True)
+        # weight draw order per admitted doc is unchanged (doc-ascending)
         w = (
             (alpha + rngs[d].standard_normal(n_trial) * ALPHA_WIDTH) / BASE_FREQ
         ).astype(np.float32)
         docids.append(d)
-        invs.append(inv.astype(np.int64) + off)
-        ms.append(rows.size)
-        pu_parts.append(model.probs[ur].astype(np.float32))
-        offs.append(off)
-        off += ur.size
+        invs.append(ginv[seg_lo[d] : seg_hi[d]])
+        ms.append(int(ms_all[d]))
         weights_l.append(w)
     if not docids:
         return out
-    pu_cat = np.concatenate(pu_parts, axis=0)  # (U, L) float32, one table
     n_adm = len(docids)
     W = np.stack(weights_l)  # (n_adm, T)
     prob = np.tile(base, (n_adm, n_trial, 1))  # (n_adm, T, L) float64
     done = np.zeros((n_adm, n_trial), dtype=bool)
     result = np.zeros((n_adm, n_trial, n_langs))
     alive = np.arange(n_adm)
+    seg_lo_adm = seg_lo[np.asarray(docids, dtype=np.int64)]
+    # per-doc draw prefetch: one integers() call yields (k, T, g, 5) —
+    # C-order fills chunk-major, so slice [i] is BITWISE the i-th separate
+    # (T, g, 5) call on the same stream (prefix property; draws a converged
+    # doc never uses are discarded, which cannot affect outputs).  Cuts the
+    # per-(doc, chunk) python-call overhead ~k× on multi-chunk docs.
+    cache: list[np.ndarray | None] = [None] * n_adm
+    cache_pos = [0] * n_adm
     g_done = 0
     while alive.size:
         g = min(_CHUNK_GROUPS, _MAX_GROUPS - g_done)
-        draw_rows = np.empty((alive.size, n_trial, g, _GROUP), dtype=np.int64)
+        draw_raw = np.empty((alive.size, n_trial, g, _GROUP), dtype=np.int64)
+        full = g == _CHUNK_GROUPS
         for j, a in enumerate(alive):
-            dr = rngs[docids[a]].integers(0, ms[a], size=(n_trial, g, _GROUP))
-            draw_rows[j] = invs[a][dr]
+            c = cache[a]
+            if full and c is not None and cache_pos[a] < c.shape[0]:
+                draw_raw[j] = c[cache_pos[a]]
+                cache_pos[a] += 1
+                continue
+            if full and _PREFETCH_CHUNKS > 1 and (
+                g_done + _PREFETCH_CHUNKS * g <= _MAX_GROUPS - 1
+            ):
+                c = rngs[docids[a]].integers(
+                    0, ms[a],
+                    size=(_PREFETCH_CHUNKS, n_trial, g, _GROUP),
+                )
+                cache[a] = c
+                cache_pos[a] = 1
+                draw_raw[j] = c[0]
+            else:
+                draw_raw[j] = rngs[docids[a]].integers(
+                    0, ms[a], size=(n_trial, g, _GROUP)
+                )
+        # one global gather maps every doc's local row draws through its
+        # ginv segment (replaces a per-doc fancy-index in the loop above)
+        draw_rows = ginv[draw_raw + seg_lo_adm[alive, None, None, None]]
         act_doc, act_tr = np.nonzero(~done[alive])  # active pairs (local)
         ga = alive[act_doc]                          # global doc index
         pf = pu_cat[draw_rows[act_doc, act_tr]]      # (P, g, 5, L) f32
@@ -357,6 +404,18 @@ def _detect_many_from_keys(
     return out
 
 
+def _batch_keys(texts, max_text_length: int) -> list:
+    """Prepared-text gram keys for a batch: normalization/purge per doc
+    (string ops), then ONE vectorized extraction pass across all docs
+    (extract_gram_keys_batch — bit-identical per-doc output)."""
+    prepared = [
+        "" if text is None
+        else purge_latin_if_minor(prepare_text(text, max_text_length))
+        for text in texts
+    ]
+    return extract_gram_keys_batch(prepared)
+
+
 def doc_seed(doc_key: str, salt: int = 0) -> int:
     """Stable per-document RNG seed from a document key (e.g. url)."""
     import zlib
@@ -382,14 +441,7 @@ def annotate_batch(
     lang_conf = np.zeros(len(texts))
     ppl = np.full(len(texts), np.nan)
     out_langs: list[str] = []
-    keys_list = [
-        np.empty(0, dtype=np.int64)
-        if text is None
-        else extract_gram_keys(
-            purge_latin_if_minor(prepare_text(text, max_text_length))
-        )
-        for text in texts
-    ]
+    keys_list = _batch_keys(texts, max_text_length)
     rngs = [np.random.Generator(np.random.Philox(key=int(s))) for s in seeds]
     results: list[np.ndarray | None] = []
     for lo, hi in _pack_subbatches(keys_list):
@@ -434,12 +486,7 @@ def detect_batch(
     out_langs: list[str] = []
     confs = np.zeros(len(texts))
     post = np.zeros((len(texts), n_langs))
-    keys_list = [
-        np.empty(0, dtype=np.int64)
-        if text is None
-        else extract_gram_keys(purge_latin_if_minor(prepare_text(text, max_text_length)))
-        for text in texts
-    ]
+    keys_list = _batch_keys(texts, max_text_length)
     rngs = [np.random.Generator(np.random.Philox(key=int(s))) for s in seeds]
     results: list[np.ndarray | None] = []
     for lo, hi in _pack_subbatches(keys_list):

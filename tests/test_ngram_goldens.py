@@ -218,3 +218,31 @@ def test_vectorized_matches_scanner_random():
         want = sorted(pack_gram(g) for g in extract_ngrams_scanner(text))
         got = sorted(int(k) for k in extract_gram_keys(text))
         assert got == want, text.encode("unicode_escape")
+
+
+def test_batched_extractor_matches_per_doc_random():
+    """extract_gram_keys_batch must be BIT-identical per document to
+    extract_gram_keys — same keys, same order — because detector draw
+    indices map positionally into the per-doc key array (bitwise
+    reproducibility depends on it).  Random unicode incl. spaces, caps
+    runs, empties, and docs adjacent to each other in the batch."""
+    from language_detection_spark.functions.ngram import extract_gram_keys_batch
+
+    rng = np.random.default_rng(7)
+    pools = [
+        (0x20, 0x7E), (0x41, 0x5A), (0xA0, 0x17F), (0x3040, 0x30FF),
+        (0xAC00, 0xACFF), (0x1F600, 0x1F64F),
+    ]
+    docs = ["", " ", "  ", "A", "AB CD ef", "a" * 3]
+    for _ in range(120):
+        n = int(rng.integers(0, 60))
+        cps = []
+        for _ in range(n):
+            lo, hi = pools[int(rng.integers(0, len(pools)))]
+            cps.append(int(rng.integers(lo, hi + 1)))
+        docs.append("".join(chr(c) for c in cps))
+    batch = extract_gram_keys_batch(docs)
+    assert len(batch) == len(docs)
+    for t, got in zip(docs, batch):
+        want = extract_gram_keys(t)
+        assert np.array_equal(want, got), t.encode("unicode_escape")

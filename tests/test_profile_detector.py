@@ -280,3 +280,34 @@ def test_counts_lazy_reconstruction_exact():
     assert m2._counts is None or m2.n_words is None
     assert len(pickle.dumps(m)) < 45e6
     assert (m2.counts == got).all()
+
+
+def test_draw_prefetch_bitwise_invariant(tiny_model):
+    """Posterior outputs are bitwise-identical for any prefetch depth: one
+    integers() call of (k, T, g, 5) fills chunk-major in C order, so its
+    slices equal k separate (T, g, 5) calls on the same stream (prefix
+    property).  Long repetitive docs force multi-chunk survival so the
+    prefetch path actually engages."""
+    import numpy as np
+
+    from language_detection_spark.operators import detector as det
+
+    texts = [
+        ("the quick brown fox " * 40)[: 700],
+        ("le renard brun et le chien " * 30)[: 650],
+        ("der fuchs und der hund " * 30)[: 600],
+        "the the the the the",
+        "le le le le le",
+    ]
+    seeds = [11, 22, 33, 44, 55]
+    old = det._PREFETCH_CHUNKS
+    try:
+        det._PREFETCH_CHUNKS = 1
+        _, _, p1 = det.detect_batch(tiny_model, texts, seeds)
+        det._PREFETCH_CHUNKS = 3
+        _, _, p3 = det.detect_batch(tiny_model, texts, seeds)
+        det._PREFETCH_CHUNKS = 7
+        _, _, p7 = det.detect_batch(tiny_model, texts, seeds)
+    finally:
+        det._PREFETCH_CHUNKS = old
+    assert np.array_equal(p1, p3) and np.array_equal(p1, p7)

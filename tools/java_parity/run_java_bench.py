@@ -2,7 +2,10 @@
 Detector vs our vectorized detect_batch, same 53 profiles, same europarl
 texts, both pinned to one core.
 
-    taskset -c 0 python tools/java_parity/run_java_bench.py [n_texts]
+    taskset -c <core> python tools/java_parity/run_java_bench.py [n_texts] [core]
+
+(core defaults to 2: core 0 services IRQs on this VM and depresses either
+side ~20%; pass the same core you taskset the python side to)
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ from run_parity import EUROPARL, PROFILES, build, export_profiles  # noqa: E402
 
 def main() -> int:
     n_texts = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    core = sys.argv[2] if len(sys.argv) > 2 else "2"
     work = pathlib.Path("/tmp/java_parity")
     work.mkdir(exist_ok=True)
     langs = sorted(
@@ -52,7 +56,7 @@ def main() -> int:
         encoding="ascii",
     )
     proc = subprocess.run(
-        ["taskset", "-c", "0", "java", "-cp", str(classes),
+        ["taskset", "-c", core, "java", "-cp", str(classes),
          "ThroughputHarness", str(prof_dir), str(tf), str(min(2000, n_texts))],
         capture_output=True, text=True, check=True,
     )
@@ -76,8 +80,8 @@ def main() -> int:
         "java_reference_docs_per_sec": round(java_dps, 1),
         "ours_docs_per_sec": round(ours_dps, 1),
         "speedup_vs_reference": round(ours_dps / java_dps, 2),
-        "protocol": "single core (taskset -c 0 for java; run this script "
-                    "under taskset -c 0 so the python side is pinned too), "
+        "protocol": f"single core (taskset -c {core} for java; run this script "
+                    "under the same taskset so the python side is pinned too), "
                     "JIT/numpy warmup, same 53 profiles + europarl texts, "
                     "seeded per doc",
     }
