@@ -161,10 +161,12 @@ write + audit) at local[{n_hi}]: **{t_hi} docs/sec**.
         start = existing.find("## Scaling")
         if start == -1:
             start = len(existing)
-        # next "## " heading that is neither Scaling nor Headline
+        # next "## " heading that is neither the auto Scaling table nor the
+        # Headline; match the table heading EXACTLY by its "(" so the
+        # hand-written "## Scaling analysis — ..." sections are preserved
         end = len(existing)
         pos = start
-        skippable = ("## Scaling", "## Headline")
+        skippable = ("## Scaling (", "## Headline")
         while True:
             nxt = existing.find("\n## ", pos + 1)
             if nxt == -1:
