@@ -29,6 +29,7 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -96,6 +97,48 @@ def _merge_gap_sessions(sessions: list, gap_ms: int) -> list:
         else:
             merged.append(tuple(s))
     return merged
+
+
+def sessionize_batch(
+    events: DataFrame, gap_seconds: int = 1800, ts_col: str = "ts"
+) -> DataFrame:
+    """BATCH twin of the streaming sessionization: gaps-and-islands over a
+    static events table with the SAME session semantics (a session =
+    maximal run of one user's events with event-time gaps strictly under
+    ``gap``).  Pure DataFrame ops — per-user lag + running sum of
+    gap-break flags — so Catalyst plans it as two window passes over one
+    hash-partition-by-user_id exchange; no Python.
+
+    Used (a) as the independently-oracled surface for the session
+    semantics (driver query ``event_sessions`` re-derives it in DuckDB),
+    and (b) to reconcile the streaming operator's closed sessions against
+    a batch ground truth on the same input (tests)."""
+    from pyspark.sql.window import Window
+
+    gap_ms = gap_seconds * 1000
+    # cast through TIMESTAMP for NTZ inputs (parquet writes TIMESTAMP_NTZ);
+    # unix_millis is exact where double-seconds arithmetic could round
+    ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ts_col)
+    with_break = events.withColumn("_ts_ms", ts_ms).withColumn(
+        "_new",
+        (
+            F.col("_ts_ms") - F.lag("_ts_ms").over(w) >= F.lit(gap_ms)
+        ).cast("int"),
+    )
+    numbered = with_break.withColumn(
+        "session_no", F.sum(F.coalesce(F.col("_new"), F.lit(0))).over(w)
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .drop("session_no")
+    )
 
 
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:

@@ -220,6 +220,72 @@ def test_sessionize_event_time_same_batch_gap_split(spark, tmp_path):
     assert closed == [A, B], f"closed sessions: {closed}"
 
 
+def test_stream_sessions_reconcile_with_batch(spark, tmp_path):
+    """Ground-truth check: the streaming operator's CLOSED sessions on a
+    drained stream equal the batch gaps-and-islands sessionization
+    (sessionize_batch) of the same events — same windows, counts, sums."""
+    from language_detection_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_event_time,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    T0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for u in range(1, 9):
+        t = 0.0
+        for _ in range(40):
+            # mix of intra-session steps and > gap jumps
+            t += float(rng.choice([60, 300, 900, 4000, 8000]))
+            rows.append((u, T0 + pd.Timedelta(seconds=t), float(u)))
+    # sentinel user pushing the watermark far past every end+gap
+    rows.append((99, T0 + pd.Timedelta(days=10), 0.0))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    schema = "user_id bigint, ts timestamp, value double"
+
+    src = tmp_path / "rc_in"
+    src.mkdir()
+    spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    out = str(tmp_path / "rc_out")
+    for _ in range(2):  # second run lets timeouts fire on the final watermark
+        q = (
+            sessionize_event_time(
+                spark.readStream.schema(schema).parquet(str(src)),
+                gap_seconds=1800,
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "rc_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.total_value, 6))
+        for r in spark.read.parquet(out).collect()
+        if r.status == "closed" and r.user_id != 99
+    }
+    events = spark.createDataFrame(pdf, schema).filter("user_id != 99")
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.total_value, 6))
+        for r in sessionize_batch(events, gap_seconds=1800).collect()
+    }
+    assert got == want, (
+        f"stream-only: {sorted(got - want)[:3]} "
+        f"batch-only: {sorted(want - got)[:3]}"
+    )
+    assert len(want) > 50  # the mix actually produced many sessions
+
+
 def test_sessionize_rocksdb_state_store(spark, tmp_path):
     """The production state backend: RocksDB state store (bounded executor
     memory for huge key cardinalities — the 10^12-doc shape) runs the same
