@@ -75,8 +75,8 @@ def test_simhash_near_dup(spark, dup_docs):
     assert not any({a, b} == {0, 3} for a, b in pairs)
 
 
-@pytest.mark.parametrize("max_hamming", [3, 8])
-def test_simhash_blocking_full_recall(spark, max_hamming):
+@pytest.mark.parametrize("max_hamming,key_chunks", [(3, 1), (8, 1), (3, 2), (8, 2), (8, 3)])
+def test_simhash_blocking_full_recall(spark, max_hamming, key_chunks):
     """Pigeonhole guarantee: every pair at Hamming <= h is found, including
     planted worst-case pairs at distance EXACTLY h with differing bits
     spread one-per-chunk (the adversarial placement for blocked LSH)."""
@@ -91,7 +91,7 @@ def test_simhash_blocking_full_recall(spark, max_hamming):
     rows = [(0, base)]
     # planted worst case: flip one bit in each of h DIFFERENT chunks, so no
     # chunk keeps more than one flipped bit until h+1 chunks run out
-    chunks = _simhash_chunks(max_hamming + 1)
+    chunks = _simhash_chunks(max_hamming + key_chunks)
     flipped = base
     for off, _w in chunks[:max_hamming]:
         flipped ^= 1 << off
@@ -101,7 +101,9 @@ def test_simhash_blocking_full_recall(spark, max_hamming):
         rows.append((i, int(rng.integers(0, 1 << _SIMHASH_BITS))))
     h = spark.createDataFrame(rows, "id bigint, sh bigint")
     got = {(r.id_a, r.id_b) for r in
-           simhash_pairs_from_hashes(h, max_hamming=max_hamming).collect()}
+           simhash_pairs_from_hashes(
+               h, max_hamming=max_hamming, key_chunks=key_chunks
+           ).collect()}
     # exact all-pairs reference
     want = {
         (a, b)

@@ -103,3 +103,23 @@ def test_salted_repartition_balances_skew(spark):
     counts = [r["count"] for r in sizes]
     assert len(counts) == 8
     assert max(counts) < 2.0 * (1000 / 8)  # no partition holds the hot host
+
+
+def test_sessionize_batch_single_exchange(spark, sf_dir):
+    """Gaps-and-islands sessionization must plan as ONE hash exchange on
+    user_id with one sort and both window functions fused — a second
+    exchange/sort would double the dominant shuffle at 10^12 events.  The
+    scan must also prune to the three referenced columns."""
+    from language_detection_spark.streaming.sessionize import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        sessionize_batch(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:3000]
+    assert plan.count("+- Sort ") == 1, plan[:3000]
+    assert plan.count("Window") == 2
+    assert "event_type" not in plan and "props" not in plan  # pruned
