@@ -167,3 +167,40 @@ def test_real_media_spark_end_to_end(spark):
     assert {r.media_id: r.byte_mean for r in again} == {
         r.media_id: r.byte_mean for r in feats
     }
+
+
+# hypothesis property round-trips — arbitrary shapes/values, not just the
+# handful of seeded cases above
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 12), st.integers(1, 12), st.just(3)),
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_bmp_round_trip_property(px):
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    @given(
+        arrays(np.uint8, st.tuples(st.integers(1, 12), st.integers(1, 12)))
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_pgm_round_trip_property(px):
+        assert (decode_ppm(encode_ppm(px)) == px).all()
+
+    @given(
+        arrays(np.int16, st.integers(1, 400)),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_round_trip_property(samples, rate):
+        back, r = decode_wav(encode_wav(samples, rate))
+        assert r == rate and (back == samples).all()
+
+except ImportError:  # pragma: no cover - hypothesis is in the base image
+    pass

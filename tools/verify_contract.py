@@ -72,6 +72,14 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # dedup/ANN queries persist intermediates for the action's
+            # lifetime; release so a full-registry run doesn't stack caches
+            from language_detection_spark.plans.caching import (
+                release_tracked_caches,
+            )
+
+            release_tracked_caches()
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
             continue
