@@ -33,6 +33,12 @@ def main(argv=None) -> int:
     ap.add_argument("--keep-text", action="store_true",
                     help="also write the raw text column (default: only the "
                     "scrubbed text ships — half the output bytes)")
+    ap.add_argument("--dedup", action="store_true",
+                    help="after the filter commits, near-dup-dedup the KEPT "
+                    "rows (exact md5 groups + MinHash-LSH on scrubbed text) "
+                    "and write <output>/dedup/ (kept doc list + dup pairs + "
+                    "an audit row) — the standard web training-data shape")
+    ap.add_argument("--dedup-threshold", type=float, default=0.8)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -100,9 +106,69 @@ def main(argv=None) -> int:
         "metrics": {k: (round(v, 6) if isinstance(v, float) else v) for k, v in metrics.items()},
         "docs_per_sec": round(rows_in / wall, 1) if rows_in else None,
     }
+    if args.dedup:
+        out["dedup"] = _dedup_stage(
+            spark, args.output, summary["run_id"], args.dedup_threshold
+        )
     print(json.dumps(out))
     spark.stop()
     return 0
+
+
+def _dedup_stage(spark, output: str, run_id: str, threshold: float) -> dict:
+    """Near-dup dedup over the committed KEPT rows: exact first (identical
+    scrubbed text collapses to the min-url representative — kills
+    boilerplate clusters before LSH, see BENCH/dedup_skew.json), then
+    MinHash-LSH pairs over the exact-survivors; a doc is dropped when it
+    near-duplicates a doc with a smaller url.  Writes
+    <output>/dedup/docs (url + bucket of survivors), /dedup/pairs, and an
+    audit row; re-running overwrites (idempotent)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from language_detection_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+    from language_detection_spark.plans.caching import release_tracked_caches
+
+    t0 = _time.time()
+    kept = (
+        spark.read.parquet(f"{output}/data")
+        .filter(F.col("keep"))
+        .select("url", "bucket", "scrubbed_text")
+    )
+    n_kept = kept.count()
+    exact = exact_dedup(kept, text_col="scrubbed_text", id_col="url").persist()
+    n_exact = exact.count()
+    pairs = minhash_dedup_pairs(
+        exact, text_col="scrubbed_text", id_col="url", threshold=threshold
+    ).persist()
+    pairs.write.mode("overwrite").parquet(f"{output}/dedup/pairs")
+    # survivor = not the larger-url side of any near-dup pair
+    losers = pairs.select(F.col("id_b").alias("url")).distinct()
+    docs = exact.join(losers, "url", "left_anti").select("url", "bucket")
+    docs.write.mode("overwrite").parquet(f"{output}/dedup/docs")
+    n_final = spark.read.parquet(f"{output}/dedup/docs").count()
+    n_pairs = pairs.count()
+    exact.unpersist()
+    pairs.unpersist()
+    release_tracked_caches()
+    wall = _time.time() - t0
+    audit = spark.createDataFrame(
+        [(run_id, n_kept, n_exact, n_pairs, n_final)],
+        "run_id string, rows_kept long, after_exact long, near_dup_pairs long,"
+        " rows_final long",
+    ).withColumn("committed_at", F.current_timestamp())
+    audit.write.mode("overwrite").parquet(f"{output}/dedup/audit")
+    return {
+        "rows_kept": n_kept,
+        "after_exact_dedup": n_exact,
+        "near_dup_pairs": n_pairs,
+        "rows_final": n_final,
+        "wall_sec": round(wall, 2),
+    }
 
 
 if __name__ == "__main__":

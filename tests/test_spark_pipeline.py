@@ -290,3 +290,81 @@ def test_whole_file_scan_detect(spark, tiny_model, tmp_path):
            for r in detect_files(spark, str(d), tiny_model).collect()}
     assert out["en.txt"] == "en"
     assert out["fr.txt"] == "fr"
+
+
+def test_run_pipeline_dedup_stage(spark, tmp_path):
+    """The jobs/run_pipeline.py --dedup stage end-to-end on a corpus with
+    planted exact and near duplicates among the KEPT rows: exact groups
+    collapse to the min-url representative, near-dups drop the larger-url
+    side, and the dedup audit row reconciles with the written outputs."""
+    import sys as _sys
+    from pathlib import Path as _P
+
+    _sys.path.insert(0, str(_P(__file__).resolve().parents[1] / "jobs"))
+    import run_pipeline as rp
+
+    import random
+
+    pool = ("the of and to in for with on that this council committee "
+            "proposal regulation market report member states policy trade "
+            "energy water health safety transport budget program article "
+            "measures support development research europe citizens rules "
+            "directive framework review annual").split()
+
+    def doc_text(i):
+        r = random.Random(1000 + i)
+        words = pool[:]
+        r.shuffle(words)
+        first = list(words)
+        r.shuffle(words)
+        return " ".join(first + words)  # ~80 words, distinct order per doc
+
+    rows = []
+    for i in range(12):
+        rows.append((f"https://a{i:02d}.example/x", doc_text(i)))
+    # exact dups of doc a00 (scrubbed text identical)
+    rows.append(("https://z-exact1.example/x", doc_text(0)))
+    rows.append(("https://z-exact2.example/x", doc_text(0)))
+    # near dup of a01 (one word appended)
+    rows.append(("https://z-near.example/x", doc_text(1) + " extra"))
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(rows, columns=["url", "text"])
+    pages = spark.createDataFrame(pdf).select(
+        "url", F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"), "text",
+        F.lit("en").alias("lang"),
+    )
+    out = str(tmp_path / "rp_out")
+
+    from language_detection_spark.models.factory import load_default_model
+    from language_detection_spark.operators.pipeline import (
+        PipelineOptions,
+        QualityFilterPipeline,
+    )
+    from language_detection_spark.operators.quality import QualityConfig
+    from language_detection_spark.plans.checkpoint import run_checkpointed
+
+    model = load_default_model()
+    pipe = QualityFilterPipeline(
+        spark, model, QualityConfig(lang_allow=("en",), min_stopword_hits=1),
+        PipelineOptions(n_buckets=4),
+    )
+    summary = run_checkpointed(pages, out, n_buckets=4, chunk_size=4,
+                               annotate=pipe.annotate)
+    res = rp._dedup_stage(spark, out, summary["run_id"], threshold=0.8)
+
+    kept = spark.read.parquet(f"{out}/data").filter("keep")
+    assert res["rows_kept"] == kept.count()
+    # the two exact copies of a00 are gone after exact dedup
+    assert res["after_exact_dedup"] == res["rows_kept"] - 2
+    docs = {r.url for r in spark.read.parquet(f"{out}/dedup/docs").collect()}
+    assert "https://a00.example/x" in docs          # min-url representative
+    assert "https://z-exact1.example/x" not in docs
+    assert "https://z-exact2.example/x" not in docs
+    assert "https://a01.example/x" in docs
+    assert "https://z-near.example/x" not in docs   # near-dup loser (larger url)
+    assert res["rows_final"] == len(docs)
+    audit = spark.read.parquet(f"{out}/dedup/audit").first()
+    assert audit.rows_final == res["rows_final"]
+    assert audit.near_dup_pairs == res["near_dup_pairs"] >= 1
