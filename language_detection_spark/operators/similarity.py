@@ -284,6 +284,83 @@ def _centroid_assign_udf(C: np.ndarray, nprobe: int = 1):
     return _assign
 
 
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    sample_n: int = 256,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Persist an IVF index: train the coarse quantizer, assign every base
+    vector to its nearest-centroid list, and write the base table
+    PARTITIONED BY centroid — so a later query's ``nprobe`` probes become
+    parquet partition filters and only the probed lists are ever scanned
+    (the build-once / query-many shape; at 100 TB a query touches
+    nprobe/n_centroids of the data).  Centroids go to ``centroids.npz``
+    next to the data."""
+    import io
+    import os
+
+    C = ivf_centroids(
+        embeddings, n_centroids, sample_n, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assign = _centroid_assign_udf(C, nprobe=1)
+    base = (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .withColumn("centroid", assign(F.col("v"))[0])
+    )
+    base.write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/base")
+    os.makedirs(path, exist_ok=True)
+    buf = io.BytesIO()
+    np.savez(buf, C=C)
+    with open(os.path.join(path, "centroids.npz"), "wb") as f:
+        f.write(buf.getvalue())
+    return C
+
+
+def ivf_load_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """(centroids, base_df) from a persisted IVF index."""
+    C = np.load(f"{path}/centroids.npz")["C"]
+    return C, spark.read.parquet(f"{path}/base")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Query a persisted IVF index.  The probed centroid ids are computed
+    driver-side from the (broadcast-sized) query set and pushed as a
+    LITERAL isin filter, so Catalyst prunes the base scan to the probed
+    partitions (PartitionFilters — asserted in tests); exact cosine
+    re-rank inside them via the two-phase top-k."""
+    C, base = ivf_load_index(spark, path)
+    q_assign = _centroid_assign_udf(C, nprobe=nprobe)
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        )
+        .withColumn("centroid", F.explode(q_assign(F.col("qv"))))
+    )
+    probed = sorted({int(r.centroid) for r in q.select("centroid").distinct().collect()})
+    pruned = base.filter(F.col("centroid").isin(probed))
+    scored = F.broadcast(q).join(pruned, "centroid").withColumn(
+        "sim",
+        cosine_sim(
+            F.col("qv").cast("array<double>"), F.col("v").cast("array<double>")
+        ),
+    )
+    return two_phase_topk(scored.select("query_id", "vec_id", "sim"), k)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

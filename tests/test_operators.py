@@ -391,3 +391,42 @@ def test_minhash_semi_filter_path_identical(spark, dup_docs):
             minhash_dedup_pairs(dup_docs, threshold=0.5,
                                 semi_filter=True).collect()}
     assert plain == semi and plain
+
+
+def test_ivf_persisted_index_matches_direct_and_prunes(spark, tmp_path):
+    """Build-once/query-many IVF: the persisted index returns the same
+    top-k as the direct path with identical centroids, and the probe
+    filter reaches the parquet scan as a PARTITION filter (only probed
+    lists are read — the 100 TB query shape)."""
+    from language_detection_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((10, 16)) * 3.0
+    vecs = np.repeat(centers, 20, axis=0) + 0.3 * rng.standard_normal((200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i * 20]]) for i in range(4)],
+        "query_id bigint, query_vec array<double>",
+    )
+    path = str(tmp_path / "ivf_index")
+    C = ivf_build_index(emb, path, n_centroids=8, sample_n=200)
+    direct = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2,
+                          sample_n=200, centroids=C).collect()
+    }
+    indexed_df = ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
+    indexed = {(r.query_id, r.rank): r.vec_id for r in indexed_df.collect()}
+    assert indexed == direct and len(indexed) == 20
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan[:3000]
