@@ -101,6 +101,8 @@ def main() -> None:
     timed("ann_lsh_topk", lambda: q["ann_lsh_topk"](spark, sf_dir).count())
     timed("ann_ivf_topk", lambda: q["ann_ivf_topk"](spark, sf_dir).count())
     timed("simhash_dedup", lambda: q["simhash_near_dups"](spark, sf_dir).count())
+    timed("near_dup_clusters",
+          lambda: q["near_dup_clusters"](spark, sf_dir).count())
     timed("embedding_near_dups",
           lambda: q["embedding_near_dups"](spark, sf_dir).count())
     timed("pii_scrub", lambda: q["pii_scrub"](spark, sf_dir).count())

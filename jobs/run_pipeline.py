@@ -39,6 +39,11 @@ def main(argv=None) -> int:
                     "and write <output>/dedup/ (kept doc list + dup pairs + "
                     "an audit row) — the standard web training-data shape")
     ap.add_argument("--dedup-threshold", type=float, default=0.8)
+    ap.add_argument("--dedup-mode", default="pairs", choices=["pairs", "cc"],
+                    help="pairs: drop the larger-url side of every near-dup "
+                    "pair (pairwise semantics). cc: connected components "
+                    "over the pair graph, keep ONE min-url representative "
+                    "per cluster (transitive semantics — Lee et al. 2022)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -108,21 +113,26 @@ def main(argv=None) -> int:
     }
     if args.dedup:
         out["dedup"] = _dedup_stage(
-            spark, args.output, summary["run_id"], args.dedup_threshold
+            spark, args.output, summary["run_id"], args.dedup_threshold,
+            mode=args.dedup_mode,
         )
     print(json.dumps(out))
     spark.stop()
     return 0
 
 
-def _dedup_stage(spark, output: str, run_id: str, threshold: float) -> dict:
+def _dedup_stage(spark, output: str, run_id: str, threshold: float,
+                 mode: str = "pairs") -> dict:
     """Near-dup dedup over the committed KEPT rows: exact first (identical
     scrubbed text collapses to the min-url representative — kills
     boilerplate clusters before LSH, see BENCH/dedup_skew.json), then
-    MinHash-LSH pairs over the exact-survivors; a doc is dropped when it
-    near-duplicates a doc with a smaller url.  Writes
-    <output>/dedup/docs (url + bucket of survivors), /dedup/pairs, and an
-    audit row; re-running overwrites (idempotent)."""
+    MinHash-LSH pairs over the exact-survivors.  ``mode="pairs"`` drops a
+    doc when it near-duplicates a doc with a smaller url; ``mode="cc"``
+    runs connected components (large-star/small-star) over the pair graph
+    and keeps ONE min-url representative per transitive cluster — the two
+    differ on chain-shaped clusters, where pairwise semantics over-keep.
+    Writes <output>/dedup/docs (url + bucket of survivors), /dedup/pairs,
+    and an audit row; re-running overwrites (idempotent)."""
     import time as _time
 
     from pyspark.sql import functions as F
@@ -146,8 +156,33 @@ def _dedup_stage(spark, output: str, run_id: str, threshold: float) -> dict:
         exact, text_col="scrubbed_text", id_col="url", threshold=threshold
     ).persist()
     pairs.write.mode("overwrite").parquet(f"{output}/dedup/pairs")
-    # survivor = not the larger-url side of any near-dup pair
-    losers = pairs.select(F.col("id_b").alias("url")).distinct()
+    if mode == "cc":
+        # transitive clusters; CC runs on 60-bit url hashes (at 10^12 docs
+        # the expected number of colliding hash pairs is ~5e4, each merging
+        # two unrelated clusters and over-dropping one doc — a 5e-8
+        # over-drop fraction, negligible for training-data dedup)
+        from language_detection_spark.operators.dedup import (
+            connected_components,
+            md5_int,
+        )
+
+        edges = pairs.select(
+            md5_int(F.col("id_a")).alias("id_a"),
+            md5_int(F.col("id_b")).alias("id_b"),
+        )
+        cc = connected_components(edges)
+        nid = exact.withColumn("_nid", md5_int(F.col("url")))
+        clustered = nid.join(cc, nid["_nid"] == cc["node"], "inner")
+        reps = clustered.groupBy("component").agg(F.min("url").alias("_rep"))
+        losers = (
+            clustered.join(reps, "component")
+            .filter(F.col("url") != F.col("_rep"))
+            .select("url")
+            .distinct()
+        )
+    else:
+        # survivor = not the larger-url side of any near-dup pair
+        losers = pairs.select(F.col("id_b").alias("url")).distinct()
     docs = exact.join(losers, "url", "left_anti").select("url", "bucket")
     docs.write.mode("overwrite").parquet(f"{output}/dedup/docs")
     n_final = spark.read.parquet(f"{output}/dedup/docs").count()
@@ -163,6 +198,7 @@ def _dedup_stage(spark, output: str, run_id: str, threshold: float) -> dict:
     ).withColumn("committed_at", F.current_timestamp())
     audit.write.mode("overwrite").parquet(f"{output}/dedup/audit")
     return {
+        "mode": mode,
         "rows_kept": n_kept,
         "after_exact_dedup": n_exact,
         "near_dup_pairs": n_pairs,

@@ -541,3 +541,130 @@ def simhash_pairs_from_hashes(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- connected components (near-dup pair graph → duplicate clusters) --------
+
+
+def _edge_checksum(e: DataFrame) -> tuple:
+    """Order-independent multiset fingerprint of an edge set: count plus two
+    independent hash sums.  One tiny driver-side row per iteration."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h1"),
+        F.bit_xor(F.xxhash64("v", "u")).alias("h2"),
+    ).collect()[0]
+    return (row["n"], row["h1"], row["h2"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list via
+    alternating large-star / small-star (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond").  Returns (node, component) for
+    every node that appears in ``edges``, where component = the minimum
+    node id of its component.
+
+    Scale shape (the reason for this algorithm over naive label
+    propagation): converges in O(log^2 n) rounds REGARDLESS of graph
+    diameter — a boilerplate chain of 10^6 near-identical pages costs the
+    same rounds as a clique.  Each round is one groupBy + one broadcast-free
+    equi-join on the edge set; the per-node reduction is min(), which
+    partial-aggregates map-side, so high-degree hub nodes (the skew case in
+    dup graphs) never materialize a neighbor list anywhere.  Lineage is cut
+    every round with localCheckpoint — on a real cluster point
+    spark.checkpoint.dir at durable storage and swap in checkpoint() for
+    executor-loss tolerance.
+
+    No reference analogue (the reference is a classifier library); this is
+    the standard final stage of a web-scale dedup pipeline (cluster the
+    near-dup pair graph, keep one representative per cluster).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetrize; every node u connects its LARGER neighbors to the
+        # minimum of its closed neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient each edge larger→smaller; every node u connects its smaller
+        # neighbors (and itself) to the minimum of its closed neighborhood
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            d.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # at the fixpoint the edge set is a star forest: (node → component-min)
+    # for every non-root node; roots appear only on the v side
+    roots = e.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()
+    return (
+        e.union(roots)
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("v").alias("component"))
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    minhash_threshold: float = 0.5,
+    simhash_max_hamming: int = 8,
+) -> DataFrame:
+    """Duplicate clusters over the UNION of the MinHash-Jaccard and SimHash
+    near-dup pair graphs: (doc_id, cluster_id, cluster_size) for every
+    document belonging to a near-dup cluster (size ≥ 2), cluster_id = the
+    minimum doc id of the cluster.  The canonical keep/drop rule is
+    "keep doc_id == cluster_id"."""
+    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    mh = minhash_dedup_pairs(
+        df, text_col, id_col, threshold=minhash_threshold
+    ).select("id_a", "id_b")
+    sh = simhash_near_dup_pairs(
+        nonempty, text_col=text_col, id_col=id_col,
+        max_hamming=simhash_max_hamming,
+    ).select("id_a", "id_b")
+    cc = connected_components(mh.union(sh))
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+    )
