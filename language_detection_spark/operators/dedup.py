@@ -590,6 +590,10 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # materialize the input ONCE: each star round references e twice
+        # (self-union / self-join), which would otherwise re-execute the
+        # caller's whole pair-generation DAG per reference in round 1
+        .localCheckpoint(eager=True)
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -626,7 +630,11 @@ def connected_components(
 
     prev = None
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # lazy localCheckpoint: the checksum aggregation below is the job
+        # that materializes the round (one pass, not two); the checkpoint
+        # cuts lineage so round N+1 plans from N's blocks, not from the
+        # whole join history
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         cur = _edge_checksum(e)
         if cur == prev:
             break
