@@ -106,6 +106,8 @@ def main() -> None:
     timed("embedding_near_dups",
           lambda: q["embedding_near_dups"](spark, sf_dir).count())
     timed("pii_scrub", lambda: q["pii_scrub"](spark, sf_dir).count())
+    timed("repetition_stats",
+          lambda: q["repetition_stats"](spark, sf_dir).count())
     timed("event_sessions", lambda: q["event_sessions"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

@@ -93,3 +93,97 @@ def stopword_langid(text: Column) -> Column:
         best = F.when(scores[lang] > best_score, F.lit(lang)).otherwise(best)
         best_score = F.greatest(best_score, scores[lang])
     return best
+
+
+# --- Gopher repetition signals (need a shuffle, unlike the stats above) ----
+
+
+def ngram_repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                           top_n: int = 2, dup_n: int = 5):
+    """Per-document word-n-gram repetition fractions (Gopher Table A1
+    family, Rae et al. 2021): ``top{n}gram_char_frac`` = characters covered
+    by the single most repetition-heavy top_n-gram (occurrences × non-space
+    chars of the gram, maximized over grams) / total non-space chars;
+    ``dup{n}gram_char_frac`` = the same mass summed over every dup_n-gram
+    that occurs ≥ 2 times.  Ties and overlap are resolved by construction
+    (mass arithmetic, not gram identity), so the numbers are deterministic
+    and engine-independent.
+
+    Scale shape: one explode per n and one partial-aggregating groupBy on
+    (doc, gram) — no windows, no driver state; the (doc, gram) key is
+    near-unique so the shuffle is skew-free even on boilerplate corpora.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (documentation import)
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    total = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    base = df.select(
+        F.col(id_col), words.alias("_w"), total.alias("_total")
+    )
+
+    def _gram_mass(n: int, dup_only: bool):
+        grams = base.select(
+            id_col,
+            "_total",
+            F.explode(
+                F.when(
+                    F.size("_w") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        counts = grams.groupBy(id_col, "_total", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        mass = F.col("cnt") * F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))
+        if dup_only:
+            agg = F.sum(F.when(F.col("cnt") >= 2, mass).otherwise(F.lit(0)))
+        else:
+            agg = F.max(mass)
+        # occurrences may overlap ("a a a" has two overlapping "a a"), so
+        # the raw mass can exceed the char count — cap at 1.0 to keep
+        # honest fraction semantics (thresholding is unaffected: the cap
+        # is monotone)
+        return counts.groupBy(id_col).agg(
+            F.round(
+                F.least(agg / F.greatest(F.first("_total"), F.lit(1)), F.lit(1.0)),
+                6,
+            ).alias("_frac")
+        )
+
+    top = _gram_mass(top_n, dup_only=False).withColumnRenamed(
+        "_frac", f"top{top_n}gram_char_frac"
+    )
+    dup = _gram_mass(dup_n, dup_only=True).withColumnRenamed(
+        "_frac", f"dup{dup_n}gram_char_frac"
+    )
+    return (
+        df.select(id_col)
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .fillna(0.0)
+    )
+
+
+def source_stats(df, id_col: str = "doc_id", source_col: str = "source",
+                 text_col: str = "text", lang_col: str = "lang"):
+    """Per-source (host/domain) aggregate profile — the input to
+    domain-level filtering decisions (blocklists, per-domain caps) in
+    Common-Crawl-style pipelines: document count, mean length, mean
+    heuristic quality score, and distinct-language count.  Pure
+    partial-aggregating groupBy; at web scale ``source`` is the natural
+    skew axis, which plain sum/count/avg aggregation absorbs map-side."""
+    return (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length(F.col(text_col))), 6).alias("mean_chars"),
+            F.round(F.avg(quality_score(F.col(text_col))), 6).alias(
+                "mean_quality"
+            ),
+            F.countDistinct(F.col(lang_col)).alias("n_langs"),
+        )
+    )
