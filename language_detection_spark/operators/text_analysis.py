@@ -187,3 +187,47 @@ def source_stats(df, id_col: str = "doc_id", source_col: str = "source",
             F.countDistinct(F.col(lang_col)).alias("n_langs"),
         )
     )
+
+
+def cap_per_source(df, k: int = 2, id_col: str = "doc_id",
+                   source_col: str = "source", text_col: str = "text",
+                   n_partial: int = 64):
+    """Keep at most ``k`` documents per source (domain), preferring higher
+    heuristic quality score, ties broken by id — the standard per-domain
+    cap against boilerplate-heavy hosts in web-corpus curation.
+
+    Scale shape: the naive ``row_number() OVER (PARTITION BY source)``
+    funnels a hot host's millions of rows through one task; instead phase
+    1 ranks within (source, salt-of-id) so a hot source spreads over
+    ``n_partial`` evenly-hashed sub-partitions and only k rows survive
+    each, then phase 2 re-ranks the tiny survivor set (≤ n_partial·k rows
+    per source).  Identical output to the global window, deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    scored = df.select(
+        F.col(id_col), F.col(source_col),
+        quality_score(F.col(text_col)).alias("_q"),
+    )
+    order = [F.desc("_q"), F.asc(id_col)]
+    partial = (
+        scored.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_partial))
+        )
+        .withColumn(
+            "_r1",
+            F.row_number().over(
+                Window.partitionBy(source_col, "_salt").orderBy(*order)
+            ),
+        )
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, source_col, F.round("_q", 6).alias("q_score"), "rank"
+        )
+    )

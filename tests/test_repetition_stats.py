@@ -54,3 +54,46 @@ def test_source_stats(spark):
     assert got["site-b"]["n_docs"] == 1
     assert got["site-b"]["n_langs"] == 1
     assert got["site-a"]["mean_chars"] == (13 + 15) / 2
+
+
+def test_cap_per_source_equals_global_window(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from language_detection_spark.operators.text_analysis import (
+        cap_per_source,
+        quality_score,
+    )
+
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "words", "tokens", "value"]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 60))),
+         f"host-{i % 5}")
+        for i in range(200)
+    ]
+    # hot source: 100 extra docs on one host (the skew case the salting
+    # exists for)
+    rows += [
+        (1000 + i, " ".join(rng.choices(vocab, k=30)), "host-0")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source"], r["rank"]): r["doc_id"]
+        for r in cap_per_source(df, k=3).collect()
+    }
+    w = Window.partitionBy("source").orderBy(
+        F.desc("_q"), F.asc("doc_id")
+    )
+    expected = {
+        (r["source"], r["rank"]): r["doc_id"]
+        for r in df.withColumn("_q", quality_score(F.col("text")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == expected
+    assert len([1 for (s, _) in got if s == "host-0"]) == 3
