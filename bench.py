@@ -103,6 +103,8 @@ def main() -> None:
     timed("simhash_dedup", lambda: q["simhash_near_dups"](spark, sf_dir).count())
     timed("near_dup_clusters",
           lambda: q["near_dup_clusters"](spark, sf_dir).count())
+    timed("incremental_dedup",
+          lambda: q["incremental_near_dups"](spark, sf_dir).count())
     timed("embedding_near_dups",
           lambda: q["embedding_near_dups"](spark, sf_dir).count())
     timed("pii_scrub", lambda: q["pii_scrub"](spark, sf_dir).count())

@@ -166,21 +166,15 @@ def minhash_signatures(
     return base.select("id", sig)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    bands: int = 4,
-    rows_per_band: int = 4,
-    max_bucket_size: int | None = 1000,
+def banded_rows(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature, bucket-join on (band, band_hash) → (id_a, id_b)
-    candidate pairs (id_a < id_b), deduplicated across bands.
-
-    ``max_bucket_size`` drops over-full buckets before the self-join: at
-    web scale a boilerplate cluster (error pages, parked domains) can put
-    millions of documents in one bucket and turn the join quadratic; such
-    clusters are better handled by exact dedup upstream."""
-    banded = sigs.select(
+    """(id, sig, band, band_hash) — one row per (doc, band); band_hash is
+    md5 over the band's signature slice.  The shared banding layout for
+    self-join LSH, the persisted signature store, and incremental probes."""
+    return sigs.select(
         "id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -200,7 +194,25 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.band_hash")
+    ).select("id", "sig", "bb.band", "bb.band_hash")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band_hash) → (id_a, id_b)
+    candidate pairs (id_a < id_b), deduplicated across bands.
+
+    ``max_bucket_size`` drops over-full buckets before the self-join: at
+    web scale a boilerplate cluster (error pages, parked domains) can put
+    millions of documents in one bucket and turn the join quadratic; such
+    clusters are better handled by exact dedup upstream."""
+    banded = banded_rows(sigs, bands, rows_per_band).select(
+        "id", "band", "band_hash"
+    )
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("_sz")
@@ -675,4 +687,110 @@ def near_dup_clusters(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         F.col("cluster_size").cast("int").alias("cluster_size"),
+    )
+
+
+# --- incremental dedup against a persisted signature store -----------------
+
+
+def build_sig_store(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded MinHash signature rows (id, sig, band, band_hash)
+    for a corpus, partitioned by band — the state a continuous-crawl
+    pipeline carries between runs so old documents are never re-shingled.
+    ``mode="append"`` admits newly accepted documents into the store."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    banded_rows(sigs, bands, rows_per_band).write.mode(mode).partitionBy(
+        "band"
+    ).parquet(path)
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold_est: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """New-vs-store near-dup pairs: (id_new, id_old, est_jaccard).
+
+    The continuous-crawl shape: only the NEW batch is shingled and hashed;
+    the store side is the persisted banded rows from ``build_sig_store``.
+    Candidates come from an equi-join on (band, band_hash) — co-partitioned
+    by the store's band partitioning, never quadratic — and are verified
+    by the signature-estimated Jaccard (fraction of equal minhash
+    components; the standard store-side verification, since the store
+    keeps signatures, not shingle sets).  E[est] = true Jaccard with
+    sd ≈ sqrt(J(1-J)/num_perm).
+
+    ``max_bucket_size`` drops (band, band_hash) buckets whose combined
+    new+store membership exceeds the cap (boilerplate guard, same
+    rationale as lsh_candidate_pairs).  New-batch ids must be disjoint
+    from store ids."""
+    rows_per_band = num_perm // bands
+    new_sigs = persist_tracked(
+        minhash_signatures(new_docs, text_col, id_col, num_perm, shingle_k)
+    )
+    new_banded = banded_rows(new_sigs, bands, rows_per_band).select(
+        "id", "band", "band_hash"
+    )
+    store_banded = store.select("id", "band", "band_hash")
+    if max_bucket_size is not None:
+        sizes = (
+            new_banded.select("band", "band_hash")
+            .unionAll(store_banded.select("band", "band_hash"))
+            .groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+        new_banded = new_banded.join(sizes, ["band", "band_hash"])
+        store_banded = store_banded.join(sizes, ["band", "band_hash"])
+    cand = (
+        new_banded.alias("n")
+        .join(
+            store_banded.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.col("n.id").alias("id_new"), F.col("o.id").alias("id_old")
+        )
+        .distinct()
+    )
+    old_sigs = store.select(
+        F.col("id").alias("id_old"), F.col("sig").alias("so")
+    ).dropDuplicates(["id_old"])
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sn"), F.col("so"), lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_perm),
+        6,
+    )
+    return (
+        cand.join(
+            new_sigs.select(F.col("id").alias("id_new"), F.col("sig").alias("sn")),
+            "id_new",
+        )
+        .join(old_sigs, "id_old")
+        .select("id_new", "id_old", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold_est)
     )
