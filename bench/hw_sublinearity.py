@@ -8,7 +8,7 @@ HARDWARE delivering less per active core as more cores light up
 
 Method: run the detector's actual hot kernel (detect_batch — pure
 numpy, no Spark, no JVM, no IPC, each process fully independent) in P
-taskset-pinned worker PROCESSES for P in {1, 4, 8, 16}, each process on
+taskset-pinned worker PROCESSES for P in {1, 4, 5, 8, 16}, each process on
 its own core working on its own in-memory copy of the europarl texts.
 Per-core throughput vs P is then a property of the PLATFORM alone: these
 processes share literally nothing but the machine.
@@ -84,13 +84,15 @@ def main() -> None:
     out = {"kernel": "detect_batch (pure numpy, no Spark/JVM/IPC)",
            "doc_set": "europarl.18.test first 2000 (~200 B/doc)",
            "runs": []}
-    for p in (1, 4, 8, 16):
+    for p in (1, 4, 5, 8, 16):
         r = run_p(p)
         out["runs"].append(r)
         print(json.dumps(r), flush=True)
-    base = out["runs"][1]["docs_per_sec_per_core"]  # P=4 is the Spark N leg
-    hi = out["runs"][3]["docs_per_sec_per_core"]
-    out["per_core_ratio_16_over_4"] = round(hi / base, 3)
+    by_p = {r["processes"]: r["docs_per_sec_per_core"] for r in out["runs"]}
+    out["per_core_ratio_16_over_4"] = round(by_p[16] / by_p[4], 3)
+    # the paired 1-core-worker protocol runs 5 active cores in its 4N leg
+    # and 1 in its N leg — this ratio is ITS platform ceiling
+    out["per_core_ratio_5_over_1"] = round(by_p[5] / by_p[1], 3)
     out["reading"] = (
         "per_core_ratio_16_over_4 is the fraction of per-core throughput the "
         "PLATFORM retains going from 4 to 16 active cores with zero software "
