@@ -1,0 +1,136 @@
+"""Streaming near-dup dedup with a cross-batch signature store.
+
+The continuous-crawl flow: every micro-batch is (1) exact-deduped within
+itself, (2) near-dup-deduped within itself (MinHash-LSH pairs, larger id
+drops), (3) probed against the persisted signature STORE of everything
+kept so far (`operators/dedup.py::incremental_near_dups` — only the new
+batch is shingled/hashed), and (4) survivors are written out and their
+banded signatures admitted to the store.
+
+Idempotency under foreachBatch's at-least-once replay: both the data and
+the store are partitioned by ``batch_id`` and written with per-write
+dynamic partition overwrite, so a replayed batch overwrites exactly its
+own partitions — the store never accumulates duplicate signature rows
+from a retry.  (A replayed batch also re-probes the same store state
+only if later batches haven't run; with availableNow + file-source
+checkpointing the batch order is the offset-log order, same as a batch
+backfill.)
+
+At 10^12-doc scale every stage stays bounded: the store probe is a
+(band, band_hash) equi-join against band-partitioned parquet, in-batch
+LSH has bucket caps, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    banded_rows,
+    exact_dedup,
+    incremental_near_dups,
+    minhash_dedup_pairs,
+    minhash_signatures,
+)
+from ..plans.caching import release_tracked_caches
+
+
+def _dedup_batch(
+    batch_df: DataFrame,
+    store: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    threshold_est: float,
+) -> DataFrame:
+    """Survivors of one micro-batch: exact → in-batch near-dup → store
+    probe."""
+    ex = exact_dedup(batch_df, text_col=text_col, id_col=id_col).drop(
+        "text_hash"
+    )
+    pairs = minhash_dedup_pairs(
+        ex, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    batch_kept = ex.join(losers, id_col, "left_anti")
+    if store is not None:
+        hits = incremental_near_dups(
+            batch_kept,
+            store,
+            text_col=text_col,
+            id_col=id_col,
+            threshold_est=threshold_est,
+        )
+        dup_vs_store = hits.select(
+            F.col("id_new").alias(id_col)
+        ).distinct()
+        batch_kept = batch_kept.join(dup_vs_store, id_col, "left_anti")
+    return batch_kept
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    threshold_est: float = 0.5,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """availableNow streaming dedup; returns {n_batches, rows_in,
+    rows_kept}.  Output layout: ``<out>/data/batch_id=<b>/`` survivors,
+    ``<out>/store/batch_id=<b>/band=<k>/`` their banded signatures."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_dir)
+    store_path = f"{out_dir}/store"
+    totals = {"n_batches": 0, "rows_in": 0, "rows_kept": 0}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            store = spark.read.parquet(store_path).filter(
+                F.col("batch_id") < batch_id
+            )
+            if not store.head(1):
+                store = None
+        except Exception:
+            store = None
+        kept = _dedup_batch(
+            batch_df, store, id_col, text_col, threshold, threshold_est
+        )
+        (
+            kept.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/data")
+        )
+        committed = spark.read.parquet(f"{out_dir}/data").filter(
+            F.col("batch_id") == batch_id
+        )
+        (
+            banded_rows(minhash_signatures(committed, text_col, id_col))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "band")
+            .parquet(store_path)
+        )
+        totals["n_batches"] += 1
+        totals["rows_in"] += batch_df.count()
+        totals["rows_kept"] += committed.count()
+        release_tracked_caches()
+
+    q = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return totals

@@ -123,3 +123,23 @@ def test_sessionize_batch_single_exchange(spark, sf_dir):
     assert plan.count("+- Sort ") == 1, plan[:3000]
     assert plan.count("Window") == 2
     assert "event_type" not in plan and "props" not in plan  # pruned
+
+
+def test_repetition_stats_stays_jvm_side(spark, sf_dir):
+    # the Gopher repetition signals must remain pure expressions — no
+    # Python evaluation anywhere in the plan, partial aggregation present
+    from language_detection_spark.queries import queries
+
+    plan = executed_plan(queries()["repetition_stats"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_cap_per_source_uses_salted_partial_rank(spark, sf_dir):
+    # phase-1 window must partition by (source, salt), never source alone
+    # as the only window — the global-window funnel is the anti-pattern
+    from language_detection_spark.queries import queries
+
+    plan = executed_plan(queries()["source_capped_docs"](spark, sf_dir))
+    assert "_salt" in plan
+    assert "EvalPython" not in plan
