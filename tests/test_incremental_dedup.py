@@ -79,3 +79,55 @@ def test_store_append_admits_new_docs(spark, tmp_path):
     got = {(r["id_new"], r["id_old"])
            for r in incremental_near_dups(later, store).collect()}
     assert (200, 100) in got
+
+
+# --- property: incremental probe ≡ full-batch LSH cross-pairs --------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "echo", "foxtrot"]
+_doc = st.lists(st.sampled_from(_VOCAB), min_size=3, max_size=10).map(" ".join)
+
+
+@given(st.lists(_doc, min_size=2, max_size=10))
+@settings(max_examples=8, deadline=None)
+def test_incremental_equals_batch_cross_pairs(spark, texts):
+    """For ANY corpus split into old/new, probing the store must yield
+    exactly the (new, old) cross-pairs that full-batch LSH banding finds
+    on the union, with the same signature-estimated Jaccard."""
+    from pyspark.sql import functions as F
+
+    from language_detection_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.filter(F.col("doc_id") % 2 == 0)
+    new = df.filter(F.col("doc_id") % 2 == 1)
+
+    got = {
+        (r["id_new"], r["id_old"]): r["est_jaccard"]
+        for r in incremental_near_dups(
+            new, banded_rows(minhash_signatures(old)),
+            threshold_est=0.0, max_bucket_size=None,
+        ).collect()
+    }
+
+    sigs = {r["id"]: r["sig"]
+            for r in minhash_signatures(df).collect()}
+    cand = lsh_candidate_pairs(
+        minhash_signatures(df), max_bucket_size=None
+    ).collect()
+    expected = {}
+    for r in cand:
+        a, b = r["id_a"], r["id_b"]
+        if (a % 2) == (b % 2):
+            continue  # same side — not a cross pair
+        id_new, id_old = (a, b) if a % 2 == 1 else (b, a)
+        est = round(
+            sum(x == y for x, y in zip(sigs[id_new], sigs[id_old])) / 16, 6
+        )
+        expected[(id_new, id_old)] = est
+    assert got == expected
