@@ -203,3 +203,131 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     n = len(data) // (2 * ch)
     s = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
     return (s[:, 0].copy() if ch == 1 else s.copy()), rate
+
+
+# --------------------------------------------------------------------------
+# Container metadata probe — header walks, no pixel/sample decode
+# --------------------------------------------------------------------------
+
+_SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _probe_jpeg(b: bytes) -> dict | None:
+    # marker walk to the first SOFn frame header (precision, height, width)
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        while i < n and b[i] == 0xFF:
+            i += 1
+        if i >= n:
+            return None
+        marker = b[i]
+        i += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers, no length field
+        if i + 2 > n:
+            return None
+        seg_len = int.from_bytes(b[i:i + 2], "big")
+        if marker in _SOF_MARKERS:
+            if i + 7 > n:
+                return None
+            h = int.from_bytes(b[i + 3:i + 5], "big")
+            w = int.from_bytes(b[i + 5:i + 7], "big")
+            return {"format": "jpeg", "width": w, "height": h}
+        i += seg_len
+    return None
+
+
+def _probe_mp4(b: bytes) -> dict | None:
+    # ISO BMFF box walk: top-level to moov, inside moov to mvhd
+    def walk(lo: int, hi: int, want: bytes) -> tuple[int, int] | None:
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(b[i:i + 4], "big")
+            btype = b[i + 4:i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return None
+                size = int.from_bytes(b[i + 8:i + 16], "big")
+                body = i + 16
+            else:
+                body = i + 8
+            if size < 8 or i + size > hi:
+                return None
+            if btype == want:
+                return body, i + size
+            i += size
+        return None
+
+    moov = walk(0, len(b), b"moov")
+    if moov is None:
+        return None
+    mvhd = walk(moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        return {"format": "mp4"}
+    p, _ = mvhd
+    version = b[p]
+    if version == 1:
+        timescale = int.from_bytes(b[p + 20:p + 24], "big")
+        duration = int.from_bytes(b[p + 24:p + 32], "big")
+    else:
+        timescale = int.from_bytes(b[p + 12:p + 16], "big")
+        duration = int.from_bytes(b[p + 16:p + 20], "big")
+    out = {"format": "mp4"}
+    if timescale:
+        out["duration_ms"] = int(duration * 1000 // timescale)
+    return out
+
+
+def probe_media(payload: bytes) -> dict | None:
+    """Container metadata WITHOUT decoding: ``format`` plus width/height
+    (images), sample_rate/duration_ms (audio), duration_ms (video).
+
+    Pure byte parsing (magic sniff + header walk), so it covers the
+    COMPRESSED formats too — JPEG (SOFn frame header), PNG (IHDR), GIF
+    (logical screen descriptor), MP4 (ISO BMFF moov/mvhd) — whose
+    pixel/sample decode is environment-stubbed.  Metadata filtering
+    (dimensions, duration) is the bulk of what a curation pipeline does
+    with media columns, and it needs no codec."""
+    b = bytes(payload)
+    fmt = sniff_format(b)
+    if fmt == "bmp":
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return {"format": "bmp", "width": abs(w), "height": abs(h)}
+    if fmt in ("ppm", "pgm"):
+        try:
+            (w, h, _maxval), _ = _pnm_tokens(b, 3, 2)
+        except Exception:
+            return {"format": fmt}
+        return {"format": fmt, "width": w, "height": h}
+    if fmt == "wav":
+        try:
+            samples, rate = decode_wav(b)
+        except Exception:
+            return {"format": "wav"}
+        return {
+            "format": "wav",
+            "sample_rate": rate,
+            "duration_ms": int(len(samples) * 1000 // rate) if rate else None,
+        }
+    if b[:2] == b"\xff\xd8":
+        return _probe_jpeg(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return {
+            "format": "png",
+            "width": int.from_bytes(b[16:20], "big"),
+            "height": int.from_bytes(b[20:24], "big"),
+        }
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return {
+            "format": "gif",
+            "width": int.from_bytes(b[6:8], "little"),
+            "height": int.from_bytes(b[8:10], "little"),
+        }
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return _probe_mp4(b)
+    return None

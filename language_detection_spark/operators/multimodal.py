@@ -276,3 +276,44 @@ def resize_media(df: DataFrame, out_h: int = 32, out_w: int = 32,
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_resize, out_schema)
+
+
+def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container metadata per media row WITHOUT decoding: probed format,
+    width/height, sample_rate, duration_ms (``functions/codecs.py::
+    probe_media`` — header walks covering BMP/PPM/PGM/WAV natively AND the
+    compressed JPEG/PNG/GIF/MP4 containers whose pixel decode is
+    environment-stubbed).  Metadata filtering is the bulk of what a
+    curation pipeline does with media columns, so this path is REAL for
+    every format.
+
+    mapInPandas (Arrow batches); output partitioning follows the input —
+    no shuffle."""
+    from ..functions.codecs import probe_media
+
+    out_schema = (
+        "media_id long, kind string, probed_format string, width int, "
+        "height int, sample_rate int, duration_ms long"
+    )
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                meta = probe_media(bytes(row[payload_col])) or {}
+                recs.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "probed_format": meta.get("format"),
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                        "sample_rate": meta.get("sample_rate"),
+                        "duration_ms": meta.get("duration_ms"),
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return df.select("media_id", "kind", payload_col).mapInPandas(
+        _probe, schema=out_schema
+    )
