@@ -231,3 +231,19 @@ def cap_per_source(df, k: int = 2, id_col: str = "doc_id",
             id_col, source_col, F.round("_q", 6).alias("q_score"), "rank"
         )
     )
+
+
+def holdout_split(df, id_col: str = "doc_id", holdout_permille: int = 100,
+                  salt: str = "split:v1"):
+    """Deterministic train/holdout assignment: md5(salt ':' id) mod 1000 <
+    ``holdout_permille`` ⇒ holdout.  Pure expression — stable across runs,
+    engines, partitionings, and cluster sizes (no RNG, no sampling
+    dependence on row order), which is what makes a split auditable at
+    10^12 rows.  Change ``salt`` to draw an independent split."""
+    bucket = F.pmod(
+        md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1000),
+    )
+    return df.withColumn("split_bucket", bucket.cast("int")).withColumn(
+        "is_holdout", F.col("split_bucket") < holdout_permille
+    )

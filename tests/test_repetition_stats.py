@@ -97,3 +97,21 @@ def test_cap_per_source_equals_global_window(spark):
     }
     assert got == expected
     assert len([1 for (s, _) in got if s == "host-0"]) == 3
+
+
+def test_holdout_split_deterministic_and_calibrated(spark):
+    from language_detection_spark.operators.text_analysis import holdout_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["split_bucket"], r["is_holdout"])
+         for r in holdout_split(df).collect()}
+    # invariant under physical layout
+    b = {r["doc_id"]: (r["split_bucket"], r["is_holdout"])
+         for r in holdout_split(df.repartition(13)).collect()}
+    assert a == b
+    frac = sum(1 for _, h in a.values() if h) / len(a)
+    assert 0.08 < frac < 0.12  # 100 permille, binomial tolerance
+    # independent salt draws an (almost surely) different split
+    c = {r["doc_id"]: r["is_holdout"]
+         for r in holdout_split(df, salt="split:v2").collect()}
+    assert any(c[k] != v[1] for k, v in a.items())
