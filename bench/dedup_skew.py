@@ -78,6 +78,43 @@ def main() -> int:
         run("exact_first", deduped, max_bucket_size=1000),
         run("cap_only", docs, max_bucket_size=1000),
     ]
+
+    # CC leg: cluster the union of exact-dup star edges (the 100k-node
+    # boilerplate group collapses to ONE component with a single
+    # 100k-degree hub — the skew shape large-star/small-star must absorb)
+    # and the near-dup pair graph.
+    from language_detection_spark.operators.dedup import (
+        connected_components,
+        md5_int,
+    )
+
+    t0 = time.time()
+    h = docs.select("doc_id", md5_int(F.col("text")).alias("th"))
+    groups = h.groupBy("th").agg(F.min("doc_id").alias("keep"))
+    star = (
+        h.join(groups, "th")
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select(F.col("keep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    near = minhash_dedup_pairs(
+        deduped, threshold=0.8, max_bucket_size=1000
+    ).select("id_a", "id_b")
+    cc = connected_components(star.union(near))
+    comp_sizes = cc.groupBy("component").count()
+    giant = comp_sizes.agg(F.max("count")).first()[0]
+    n_clustered = cc.count()
+    cc_wall = time.time() - t0
+    release_tracked_caches()
+    legs.append(
+        {
+            "leg": "cc_cluster",
+            "wall_sec": round(cc_wall, 2),
+            "nodes_clustered": n_clustered,
+            "giant_component": int(giant),
+            "giant_is_boilerplate": bool(giant >= boiler_n),
+            "docs_per_sec": round(n_docs / cc_wall, 1),
+        }
+    )
     deduped.unpersist()
     out = {
         "note": (
