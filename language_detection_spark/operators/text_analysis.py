@@ -247,3 +247,37 @@ def holdout_split(df, id_col: str = "doc_id", holdout_permille: int = 100,
     return df.withColumn("split_bucket", bucket.cast("int")).withColumn(
         "is_holdout", F.col("split_bucket") < holdout_permille
     )
+
+
+def quality_terciles(df, id_col: str = "doc_id", lang_col: str = "lang",
+                     text_col: str = "text"):
+    """CCNet-style per-language corpus split (Wenzek et al. 2020): rank
+    each document's quality score against its OWN language's distribution
+    and label head / middle / tail by the tercile cutoffs.  CCNet does
+    this with LM perplexity; the score here is the heuristic quality score
+    so an independent SQL engine can re-derive the whole thing.
+
+    Scale shape: cutoffs are a per-language aggregate (tiny — one row per
+    language) broadcast back onto the corpus; no window over the full
+    table.  At 10^12 rows swap the exact percentile for
+    ``percentile_approx`` — same plan shape, bounded memory."""
+    scored = df.select(
+        F.col(id_col), F.col(lang_col),
+        quality_score(F.col(text_col)).alias("_q"),
+    )
+    cuts = scored.groupBy(lang_col).agg(
+        F.round(F.percentile("_q", F.lit(1.0 / 3.0)), 6).alias("_c1"),
+        F.round(F.percentile("_q", F.lit(2.0 / 3.0)), 6).alias("_c2"),
+    )
+    lab = (
+        F.when(F.col("_q") <= F.col("_c1"), F.lit("tail"))
+        .when(F.col("_q") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), lang_col)
+        .select(
+            id_col, lang_col, F.col("_q").alias("q_score"),
+            lab.alias("tercile"),
+        )
+    )

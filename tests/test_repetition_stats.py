@@ -115,3 +115,38 @@ def test_holdout_split_deterministic_and_calibrated(spark):
     c = {r["doc_id"]: r["is_holdout"]
          for r in holdout_split(df, salt="split:v2").collect()}
     assert any(c[k] != v[1] for k, v in a.items())
+
+
+def test_quality_terciles_balanced_per_language(spark):
+    import random
+
+    from language_detection_spark.operators.text_analysis import (
+        quality_terciles,
+    )
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "words", "tokens"]
+    # k < 50 keeps the length sub-score off its saturation plateau, so
+    # scores are distinct enough for meaningful terciles
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 45))),
+         "en" if i % 2 == 0 else "de")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quality_terciles(df).collect()
+    assert len(out) == 300
+    for lang in ("en", "de"):
+        counts = {"tail": 0, "middle": 0, "head": 0}
+        for r in out:
+            if r["lang"] == lang:
+                counts[r["tercile"]] += 1
+        # terciles within each language are roughly balanced (ties on
+        # discrete scores can shift the boundaries)
+        assert all(20 <= v <= 80 for v in counts.values()), counts
+        # label ordering respects the score ordering
+        tail_max = max(r["q_score"] for r in out
+                       if r["lang"] == lang and r["tercile"] == "tail")
+        head_min = min(r["q_score"] for r in out
+                       if r["lang"] == lang and r["tercile"] == "head")
+        assert tail_max < head_min
