@@ -16,9 +16,15 @@ Language Models Better") expressed Spark-first:
 * simhash64 — 64-bit sign-aggregated token fingerprint (Arrow-batched
   numpy UDF; Hamming-ball grouping for near-dup).
 * ngram_jaccard_pairs — exact word-n-gram Jaccard for candidate pairs.
+* connected_components / near_dup_clusters — alternating large-star/
+  small-star (Kiveris et al. 2014) turning the pair graph into canonical
+  duplicate clusters; O(log² n) rounds regardless of diameter.
+* build_sig_store / incremental_near_dups — persisted band-partitioned
+  signature store for continuous-crawl dedup: only the new batch is ever
+  shingled; pairs verify by signature-estimated Jaccard.
 
 All operators key documents by an id column and never collect to the
-driver.
+driver (the CC convergence test reads one 3-value checksum row per round).
 """
 
 from __future__ import annotations
