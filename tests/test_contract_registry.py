@@ -1,0 +1,55 @@
+"""Driver-contract registry invariants — protects __spark_entry__ from
+drift: every query resolves an oracle, bench.py only times registered
+queries, and snapshot pins exist for every snapshot-registered query."""
+
+import ast
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_every_query_has_an_oracle():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert len(q) >= 43
+    missing = sorted(set(q) - set(o))
+    # the driver records a weaker rows-only check for oracle-less queries;
+    # this repo's contract is that there are NONE
+    assert missing == [], f"queries without oracles: {missing}"
+
+
+def test_bench_times_only_registered_queries():
+    import __spark_entry__ as e
+
+    q = set(e.queries())
+    src = (ROOT / "bench.py").read_text()
+    used = set(re.findall(r'q\["([a-z0-9_]+)"\]', src))
+    assert used, "bench.py stopped using the registry?"
+    unknown = sorted(used - q)
+    assert unknown == [], f"bench.py times unregistered queries: {unknown}"
+
+
+def test_snapshot_pins_exist_for_all_snapshot_queries():
+    gen = (ROOT / "tools" / "gen_snapshots.py").read_text()
+    tree = ast.parse(gen)
+    names = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "SNAPSHOT_QUERIES" for t in node.targets
+        ):
+            names = [ast.literal_eval(el) for el in node.value.elts]
+    assert names, "SNAPSHOT_QUERIES not found"
+    snap_dir = (
+        ROOT / "language_detection_spark" / "data" / "oracle_snapshots"
+    )
+    for n in names:
+        f = snap_dir / f"{n}.sql"
+        assert f.exists() and f.stat().st_size > 100, f"missing pin: {n}"
+    # and no orphan pins for queries the generator no longer covers
+    orphans = sorted(
+        p.stem for p in snap_dir.glob("*.sql") if p.stem not in names
+    )
+    assert orphans == [], f"orphan snapshot pins: {orphans}"
