@@ -191,6 +191,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid, size = struct.unpack_from("<4sI", b, i)
         body = b[i + 8 : i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated (< 16 bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

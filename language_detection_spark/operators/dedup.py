@@ -29,6 +29,8 @@ driver (the CC convergence test reads one 3-value checksum row per round).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -488,6 +490,12 @@ def simhash_pairs_from_hashes(
     design and stays the default (optimal at small corpora)."""
     if key_chunks < 1:
         raise ValueError("key_chunks must be >= 1")
+    if n_tables is not None and key_chunks > 1:
+        raise ValueError(
+            "n_tables and key_chunks>1 are mutually exclusive: multi-chunk "
+            "blocking fixes the table count at C(max_hamming+key_chunks, "
+            "key_chunks); pass one knob or the other"
+        )
     if n_tables is not None and key_chunks == 1 and n_tables < max_hamming + 1:
         raise ValueError(
             f"n_tables={n_tables} cannot guarantee recall at Hamming "
@@ -580,6 +588,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed connected components over an undirected edge list via
     alternating large-star / small-star (Kiveris et al. 2014, "Connected
@@ -647,16 +656,32 @@ def connected_components(
         )
 
     prev = None
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
         # lazy localCheckpoint: the checksum aggregation below is the job
         # that materializes the round (one pass, not two); the checkpoint
         # cuts lineage so round N+1 plans from N's blocks, not from the
         # whole join history
         e = small_star(large_star(e)).localCheckpoint(eager=False)
+        rounds += 1
         cur = _edge_checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # an unconverged edge set yields SPLIT clusters with no other signal
+        warnings.warn(
+            f"connected_components exited by iteration budget (max_iter="
+            f"{max_iter}) without reaching the checksum fixpoint; clusters "
+            f"may be split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # at the fixpoint the edge set is a star forest: (node → component-min)
     # for every non-root node; roots appear only on the v side
     roots = e.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()

@@ -7,17 +7,19 @@ Operators persist() frames whose lifetime must span the CALLER's action
 (e.g. minhash signatures shared by the band-join and the verify join), so
 they cannot unpersist before returning.  Callers own the cache lifetime:
 call :func:`release_tracked_caches` after materializing results.  Frames
-are held by weakref — dropping all references also frees the entry.
+are held by STRONG reference: Spark's CacheManager keeps the physical plan
+cached regardless of Python-side references, so a weakref registry would
+silently leak storage once the caller drops its local variable (the JVM
+entry survives; only our handle dies).  The registry is bounded by the
+number of persist_tracked calls between releases, which is small.
 """
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_TRACKED: list[weakref.ref] = []
+_TRACKED: list[DataFrame] = []
 
 
 def persist_tracked(
@@ -25,20 +27,18 @@ def persist_tracked(
 ) -> DataFrame:
     """persist() + register for later bulk release."""
     df = df.persist(level)
-    _TRACKED.append(weakref.ref(df))
+    _TRACKED.append(df)
     return df
 
 
 def release_tracked_caches() -> int:
-    """Unpersist every tracked frame still alive; returns how many."""
+    """Unpersist every tracked frame; returns how many were released."""
     n = 0
-    for ref in _TRACKED:
-        df = ref()
-        if df is not None:
-            try:
-                df.unpersist()
-                n += 1
-            except Exception:
-                pass
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
     _TRACKED.clear()
     return n

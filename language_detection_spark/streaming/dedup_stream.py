@@ -36,6 +36,15 @@ from ..operators.dedup import (
 from ..plans.caching import release_tracked_caches
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on the session's Hadoop filesystem (works
+    for any scheme Spark can read, not just local paths)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _dedup_batch(
     batch_df: DataFrame,
     store: DataFrame | None,
@@ -92,13 +101,17 @@ def run_dedup_stream(
     totals = {"n_batches": 0, "rows_in": 0, "rows_kept": 0}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        try:
+        # Only a MISSING store means "first batch"; any other read error
+        # (transient IO, corrupt footer) must fail the batch so the
+        # checkpoint retries it — silently skipping the cross-batch probe
+        # would admit duplicates of already-kept documents.
+        if _hadoop_path_exists(spark, store_path):
             store = spark.read.parquet(store_path).filter(
                 F.col("batch_id") < batch_id
             )
             if not store.head(1):
                 store = None
-        except Exception:
+        else:
             store = None
         kept = _dedup_batch(
             batch_df, store, id_col, text_col, threshold, threshold_est

@@ -84,6 +84,18 @@ def test_wav_round_trip_mono_stereo():
         decode_wav(b"not a wav at all, definitely not 44 bytes of RIFF")
 
 
+def test_wav_truncated_fmt_raises_valueerror():
+    """A fmt chunk shorter than 16 bytes must raise the documented
+    ValueError, not struct.error."""
+    body = (
+        struct.pack("<4sI", b"fmt ", 8) + b"\x01\x00\x01\x00\x00\x00\x00\x00"
+        + struct.pack("<4sI", b"data", 16) + b"\x00" * 16
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload)
+
+
 def test_wav_extra_chunks_skipped():
     """Decoders must walk RIFF chunks, not assume a 44-byte header: insert
     a LIST chunk (odd size → word-alignment padding) between fmt and data."""

@@ -55,6 +55,33 @@ def test_cc_chain(spark):
     _check(spark, edges)
 
 
+def test_cc_stats_and_round_bound(spark):
+    """Iteration-count capture: a 256-node chain (diameter 255) must
+    converge — and in O(log^2 n) rounds, the point of alternating stars
+    over label propagation (which would need ~n rounds here)."""
+    import math
+
+    edges = [(i + 1, i) for i in range(255)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats = {}
+    got = {r["node"]: r["component"]
+           for r in connected_components(df, stats=stats).collect()}
+    assert all(c == 0 for c in got.values()) and len(got) == 256
+    assert stats["converged"] is True
+    assert 1 <= stats["rounds"] <= math.ceil(math.log2(256) ** 2)
+
+
+def test_cc_unconverged_warns(spark):
+    """Exiting on the iteration budget (not the checksum fixpoint) must
+    warn — silent split clusters are the failure mode."""
+    edges = [(i + 1, i) for i in range(63)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats = {}
+    with pytest.warns(RuntimeWarning, match="iteration budget"):
+        connected_components(df, max_iter=1, stats=stats).collect()
+    assert stats["converged"] is False and stats["rounds"] == 1
+
+
 def test_cc_mixed_shapes(spark):
     edges = (
         # clique 100..104

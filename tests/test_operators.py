@@ -158,6 +158,31 @@ def test_simhash_under_tabled_raises(spark):
         simhash_pairs_from_hashes(h, max_hamming=8, n_tables=4)
 
 
+def test_simhash_conflicting_knobs_raise(spark):
+    """n_tables with key_chunks>1 is a contradiction (multi-chunk blocking
+    fixes the table count) — must raise, not silently ignore n_tables."""
+    from language_detection_spark.operators.dedup import simhash_pairs_from_hashes
+
+    h = spark.createDataFrame([(0, 5)], "id bigint, sh bigint")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        simhash_pairs_from_hashes(h, max_hamming=3, n_tables=9, key_chunks=2)
+
+
+def test_release_tracked_caches_actually_releases(spark, dup_docs):
+    """Regression for the weakref leak: operators persist frames the caller
+    never holds a reference to; release_tracked_caches must still unpersist
+    them (Spark's CacheManager keeps the JVM entry alive regardless of
+    Python refs)."""
+    from language_detection_spark.plans.caching import release_tracked_caches
+
+    release_tracked_caches()  # clean slate
+    minhash_dedup_pairs(dup_docs, threshold=0.5).count()
+    # the signature frame was persist_tracked inside the operator and its
+    # local reference is gone — a weakref registry would release 0 here
+    assert release_tracked_caches() >= 1
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+
+
 @pytest.fixture(scope="module")
 def emb_tables(spark):
     rng = np.random.default_rng(0)
