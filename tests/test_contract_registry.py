@@ -32,6 +32,38 @@ def test_bench_times_only_registered_queries():
     assert unknown == [], f"bench.py times unregistered queries: {unknown}"
 
 
+def test_north_rule_claim_counts_current():
+    """NORTH_RULE.md's verification-claim row must state the CURRENT query
+    and snapshot counts — stale driver-facing docs were a round-3 verdict
+    item.  Parses 'Q/Q driver queries', 'R via independent DuckDB
+    re-derivation' and 'S model-driven queries via regression-pinned
+    snapshots' and checks them against the live registry."""
+    import __spark_entry__ as e
+    from tools.gen_snapshots import SNAPSHOT_QUERIES
+
+    text = (ROOT / "NORTH_RULE.md").read_text()
+    m = re.search(
+        r"(\d+)/(\d+) driver queries oracle-green.*?"
+        r"(\d+) via independent DuckDB re-derivation.*?"
+        r"(\d+) model-driven queries via regression-pinned snapshots",
+        text,
+        re.S,
+    )
+    assert m, "NORTH_RULE.md claim line not found / reworded"
+    q_claim, q_claim2, rederived, pinned = map(int, m.groups())
+    n_q = len(e.queries())
+    n_pin = len(SNAPSHOT_QUERIES)
+    assert (q_claim, q_claim2) == (n_q, n_q), (
+        f"NORTH_RULE.md claims {q_claim}/{q_claim2} queries; registry has {n_q}"
+    )
+    assert pinned == n_pin, (
+        f"NORTH_RULE.md claims {pinned} snapshot pins; generator lists {n_pin}"
+    )
+    assert rederived == n_q - n_pin, (
+        f"NORTH_RULE.md claims {rederived} re-derivations; should be {n_q - n_pin}"
+    )
+
+
 def test_snapshot_pins_exist_for_all_snapshot_queries():
     gen = (ROOT / "tools" / "gen_snapshots.py").read_text()
     tree = ast.parse(gen)

@@ -1,6 +1,6 @@
 """Snapshot-oracle staleness gate.
 
-The 8 regression-pinned VALUES snapshots (tools/gen_snapshots.py) are
+The regression-pinned VALUES snapshots (tools/gen_snapshots.py) are
 generated FROM THIS ENGINE's output: if a detector/trainer change ships
 without regenerating them, the driver's oracle rows would silently pin the
 OLD output and fail — or worse, a forgotten regen after an intentional
