@@ -2,10 +2,12 @@
 typed metadata, plus the Spark-side plumbing (schema, partitioning, Arrow
 batch shapes) for decode / feature-extract / resize / frame-sample.
 
-Decode is REAL for uncompressed containers — BMP (24-bit), PPM/PGM, WAV
-(PCM16) — via the pure-numpy parsers in functions/codecs.py; ``decode_media``
-sniffs the payload magic and decodes those without any codec library.
-COMPRESSED formats (JPEG/PNG/MP4/…) need PIL/ffmpeg, which are NOT in this
+Decode is REAL for BMP (24-bit), PPM/PGM, WAV (PCM16), PNG (8-bit, stdlib
+zlib + numpy unfilter) and GIF (LZW implemented in functions/codecs.py) —
+``decode_media`` sniffs the payload magic and decodes those without any
+codec library (the PNG/GIF decoders are cross-validated pixel-exact
+against Java ImageIO in tests/test_codecs.py).  The REMAINING compressed
+formats (JPEG/MP4/…) genuinely need libjpeg/ffmpeg, which are NOT in this
 environment, so for unrecognized payloads ``decode_media`` raises
 ``NotImplementedError`` unless ``fake=True``, in which case a clearly-marked
 deterministic fake decoder (seeded from the payload bytes) produces stable
@@ -85,15 +87,18 @@ def synth_real_media_df(
     spark: SparkSession, n: int = 100, seed: int = 42
 ) -> DataFrame:
     """Synthetic media table whose payloads are GENUINE encoded files:
-    24-bit BMP images (deterministic gradient + seeded noise pixels) and
-    PCM16 WAV clips (seeded sine + noise).  Decoding these exercises the
-    real pure-numpy codec path end-to-end — no fake decoder involved."""
+    24-bit BMP and 8-bit PNG images (deterministic gradient + seeded noise
+    pixels; PNG rows cycle filter types 0-4), LZW-compressed GIF images
+    (seeded palette patterns), and PCM16 WAV clips (seeded sine + noise).
+    Decoding these exercises the real pure-numpy codec paths end-to-end —
+    no fake decoder involved."""
     from ..functions import codecs as _c
 
     rows = []
     for i in range(n):
         rng = np.random.Generator(np.random.Philox(key=seed * 1_000_003 + i))
-        if i % 2 == 0:
+        mod = i % 4
+        if mod in (0, 2):
             h, w = 24 + (i % 5) * 8, 32 + (i % 7) * 8
             yy, xx = np.mgrid[0:h, 0:w]
             base = ((yy * 255) // max(h - 1, 1) + (xx * 255) // max(w - 1, 1)) // 2
@@ -103,9 +108,13 @@ def synth_real_media_df(
                 0,
                 255,
             ).astype(np.uint8)
-            payload = _c.encode_bmp(px)
+            payload = (
+                _c.encode_bmp(px)
+                if mod == 0
+                else _c.encode_png(px, filter_type=(i // 4) % 5)
+            )
             rows.append((i, "image", bytearray(payload), w, h, None, 1))
-        else:
+        elif mod == 1:
             rate = 16000
             t = np.arange(2048, dtype=np.float64) / rate
             freq = 220.0 * (1 + i % 8)
@@ -115,25 +124,40 @@ def synth_real_media_df(
             samples = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
             payload = _c.encode_wav(samples, rate)
             rows.append((i, "audio", bytearray(payload), None, None, rate, None))
+        else:
+            h, w = 16 + (i % 6) * 8, 20 + (i % 4) * 8
+            npal = 4 + (i % 13) * 16
+            pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            idx = (
+                ((yy + xx) // 2 + rng.integers(0, 3, size=(h, w))) % npal
+            ).astype(np.uint8)
+            payload = _c.encode_gif(idx, pal)
+            rows.append((i, "image", bytearray(payload), w, h, None, 1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode encoded media bytes → flat uint8 sample array.
 
-    REAL for uncompressed containers (sniffed by magic bytes, no codec
-    library needed): 24-bit BMP and binary PPM/PGM decode to their pixel
-    bytes; PCM16 WAV decodes to samples mapped onto uint8 via
-    ``(s + 32768) >> 8`` (a fixed affine quantization, so downstream byte
-    stats stay deterministic).  Compressed formats need PIL/ffmpeg — not in
-    this container — so unrecognized payloads raise unless ``fake=True``,
-    which selects the DETERMINISTIC FAKE decoder (pseudo-samples seeded
-    from the payload digest; stable across runs/machines)."""
+    REAL for every format with a native pure-Python/numpy codec (sniffed
+    by magic bytes): 24-bit BMP, binary PPM/PGM, 8-bit PNG (stdlib zlib +
+    per-row unfilter) and GIF (LZW) decode to their pixel bytes; PCM16 WAV
+    decodes to samples mapped onto uint8 via ``(s + 32768) >> 8`` (a fixed
+    affine quantization, so downstream byte stats stay deterministic).
+    JPEG/MP4/… need libjpeg/ffmpeg — not in this container — so
+    unrecognized payloads raise unless ``fake=True``, which selects the
+    DETERMINISTIC FAKE decoder (pseudo-samples seeded from the payload
+    digest; stable across runs/machines)."""
     fmt = codecs.sniff_format(payload)
     if fmt == "bmp":
         return codecs.decode_bmp(payload).ravel()
     if fmt in ("ppm", "pgm"):
         return codecs.decode_ppm(payload).ravel()
+    if fmt == "png":
+        return codecs.decode_png(payload).ravel()
+    if fmt == "gif":
+        return codecs.decode_gif(payload).ravel()
     if fmt == "wav":
         samples, _rate = codecs.decode_wav(payload)
         return (
@@ -141,9 +165,9 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         )
     if not fake:
         raise NotImplementedError(
-            "compressed media codecs are unavailable in this environment "
-            "(BMP/PPM/PGM/WAV decode natively); pass fake=True for the "
-            "deterministic test decoder"
+            "JPEG/MP4 codecs are unavailable in this environment "
+            "(BMP/PPM/PGM/WAV/PNG/GIF decode natively); pass fake=True for "
+            "the deterministic test decoder"
         )
     digest = hashlib.sha256(bytes(payload)).digest()
     seed = int.from_bytes(digest[:8], "big")
@@ -182,8 +206,9 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Encoded image → nearest-neighbor resize → re-encoded SAME format.
-    REAL for BMP and PPM/PGM (pure-numpy codecs); compressed formats would
-    need PIL/opencv, which are not in this container."""
+    REAL for BMP, PPM/PGM, PNG and GIF (pure-numpy codecs; GIF resizes in
+    index space and reuses the original palette, so no re-quantization);
+    JPEG would need libjpeg, which is not in this container."""
     fmt = codecs.sniff_format(payload)
     if fmt == "bmp":
         px = codecs.decode_bmp(payload)
@@ -191,9 +216,15 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     if fmt in ("ppm", "pgm"):
         px = codecs.decode_ppm(payload)
         return codecs.encode_ppm(resize_nearest(px, height, width))
+    if fmt == "png":
+        px = codecs.decode_png(payload)
+        return codecs.encode_png(resize_nearest(px, height, width))
+    if fmt == "gif":
+        idx, pal = codecs.decode_gif_indexed(payload)
+        return codecs.encode_gif(resize_nearest(idx, height, width), pal)
     raise NotImplementedError(
-        "compressed image resize requires PIL/opencv (not in container); "
-        "BMP/PPM/PGM resize natively"
+        "JPEG resize requires libjpeg (not in container); "
+        "BMP/PPM/PGM/PNG/GIF resize natively"
     )
 
 
@@ -261,6 +292,10 @@ def resize_media(df: DataFrame, out_h: int = 32, out_w: int = 32,
                     px = codecs.decode_bmp(payload)  # real (H, W, 3) geometry
                 elif fmt in ("ppm", "pgm"):
                     px = codecs.decode_ppm(payload)
+                elif fmt == "png":
+                    px = codecs.decode_png(payload)
+                elif fmt == "gif":
+                    px = codecs.decode_gif(payload)
                 else:
                     raw = decode_media(payload, kind, fake=fake)
                     # test decoder yields 256 pseudo-bytes; tile to the row's

@@ -8,13 +8,23 @@ import pytest
 
 from language_detection_spark.functions.codecs import (
     decode_bmp,
+    decode_gif,
+    decode_gif_indexed,
+    decode_png,
     decode_ppm,
     decode_wav,
     encode_bmp,
+    encode_gif,
+    encode_png,
     encode_ppm,
     encode_wav,
     sniff_format,
 )
+
+# real-world fixtures for third-party-encoder conformance (read-only,
+# outside the repo; tests skip when absent)
+_ICONS = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/idlelib/Icons"
+_SPARK_IMAGES = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel"
 
 
 def test_bmp_round_trip_rgb():
@@ -141,8 +151,18 @@ def test_resize_image_real_round_trip():
     out_p = resize_image(encode_ppm(px), 16, 2)
     assert sniff_format(out_p) == "ppm"
     assert decode_ppm(out_p).shape == (2, 16, 3)
+    out_png = resize_image(encode_png(px), 4, 4)
+    assert sniff_format(out_png) == "png"
+    assert (decode_png(out_png) == px[::2][:, ::2]).all()
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(8, 8), dtype=np.uint8)
+    out_gif = resize_image(encode_gif(idx, pal), 4, 4)
+    assert sniff_format(out_gif) == "gif"
+    small_idx, small_pal = decode_gif_indexed(out_gif)
+    assert (small_idx == idx[::2][:, ::2]).all()  # palette reused, no requant
+    assert (small_pal[:16] == pal).all()
     with pytest.raises(NotImplementedError):
-        resize_image(b"\x89PNG\r\n\x1a\n....", 2, 2)
+        resize_image(b"\xff\xd8\xff\xe0 fake jpeg", 2, 2)
 
 
 def test_real_media_spark_end_to_end(spark):
@@ -169,9 +189,10 @@ def test_real_media_spark_end_to_end(spark):
     aud = media.filter("kind = 'audio'").collect()
     for m in aud:
         assert sum(by_id[m.media_id].byte_hist) == 2048
-    # resize runs on the real decoded geometry (no metadata tiling)
+    # resize runs on the real decoded geometry (no metadata tiling);
+    # images are BMP / PNG / GIF rows (i % 4 in {0, 2, 3}) — 15 of 20
     resized = resize_media(media, out_h=8, out_w=8, fake=False).collect()
-    assert len(resized) == 10
+    assert len(resized) == 15
     for r in resized:
         assert len(r.pixels) == 8 * 8 * 3  # RGB preserved
     # determinism: same seed → same features
@@ -179,6 +200,220 @@ def test_real_media_spark_end_to_end(spark):
     assert {r.media_id: r.byte_mean for r in again} == {
         r.media_id: r.byte_mean for r in feats
     }
+
+
+# ---------------------------------------------------------------------------
+# PNG — stdlib zlib inflate + numpy unfilter
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_round_trip_all_filters(filter_type):
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (13, 17), (13, 17, 3), (9, 5, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        b = encode_png(px, filter_type=filter_type)
+        assert sniff_format(b) == "png"
+        back = decode_png(b)
+        assert back.shape == px.shape and (back == px).all()
+    # smooth gradient — the case where Sub/Up/Average/Paeth actually differ
+    yy, xx = np.mgrid[0:33, 0:47]
+    grad = ((yy * 3 + xx * 5) % 256).astype(np.uint8)
+    assert (decode_png(encode_png(grad, filter_type=filter_type)) == grad).all()
+
+
+def test_png_rejects_malformed():
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    b = bytearray(encode_png(px))
+    bad = bytes(b[:40]) + bytes([b[40] ^ 0xFF]) + bytes(b[41:])
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bad)
+    with pytest.raises(ValueError):
+        decode_png(b[:20])  # truncated
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # 16-bit depth and Adam7 interlace are explicitly unsupported
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr16 = _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(magic + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b""))
+    ihdr_i = _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(magic + chunk(b"IHDR", ihdr_i) + chunk(b"IEND", b""))
+
+
+def test_png_palette_color_type():
+    """Hand-build a color-type-3 PNG (PLTE + index scanlines) and check
+    the palette expansion."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 8, 7]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    b = (b"\x89PNG\r\n\x1a\n"
+         + chunk(b"IHDR", _s.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+         + chunk(b"PLTE", pal.tobytes())
+         + chunk(b"IDAT", _z.compress(raw))
+         + chunk(b"IEND", b""))
+    out = decode_png(b)
+    assert out.shape == (2, 3, 3)
+    assert (out == pal[idx]).all()
+
+
+def test_png_real_third_party_files():
+    """Decode PNGs produced by real-world encoders (not our own)."""
+    import os
+
+    fixtures = [
+        f"{_ICONS}/idle_16.png",
+        f"{_SPARK_IMAGES}/BGRA.png",
+    ]
+    found = [p for p in fixtures if os.path.exists(p)]
+    if not found:
+        pytest.skip("no third-party PNG fixtures on this machine")
+    for p in found:
+        arr = decode_png(open(p, "rb").read())
+        assert arr.ndim in (2, 3) and arr.size > 0
+
+
+# ---------------------------------------------------------------------------
+# GIF — variable-width LSB-first LZW (decoder and encoder both ours)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_round_trip_palette_sizes():
+    rng = np.random.default_rng(11)
+    # 2..256 colors: exercises min-code-size 2..8 and width growth
+    for npal, shape in [(2, (7, 9)), (4, (16, 16)), (37, (20, 20)),
+                        (200, (40, 50)), (256, (80, 90))]:
+        pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, size=shape, dtype=np.uint8)
+        b = encode_gif(idx, pal)
+        assert sniff_format(b) == "gif"
+        i2, p2 = decode_gif_indexed(b)
+        assert (i2 == idx).all() and (p2[:npal] == pal).all()
+    rgb = decode_gif(b)
+    assert (rgb == pal[idx]).all()
+
+
+def test_gif_dictionary_reset_and_repetition():
+    rng = np.random.default_rng(12)
+    # random 256-color 200x300: LZW table crosses 4096 → clear + reset
+    idx = rng.integers(0, 256, size=(200, 300), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    assert (decode_gif_indexed(encode_gif(idx, pal))[0] == idx).all()
+    # highly repetitive: long chains, KwKwK cases
+    rep = np.tile(np.arange(16, dtype=np.uint8) % 7, (300, 20))[:, :123]
+    pal7 = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    assert (decode_gif_indexed(encode_gif(rep, pal7))[0] == rep).all()
+    # single-run KwKwK stressor
+    runs = np.zeros((4, 64), dtype=np.uint8)
+    assert (decode_gif_indexed(encode_gif(runs, pal7))[0] == runs).all()
+
+
+def test_gif_interlaced_and_extensions():
+    """Hand-build an interlaced GIF with an 89a graphic-control extension:
+    the decoder must skip the extension and undo the 4-pass row order."""
+    from language_detection_spark.functions.codecs import (
+        _GIF_INTERLACE_PASSES,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(13)
+    h, w, npal = 13, 9, 8
+    pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    idx = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+    order = np.concatenate(
+        [np.arange(s, h, step) for s, step in _GIF_INTERLACE_PASSES]
+    )
+    stored = idx[order]  # rows as laid out in the stream
+    mcs = 3
+    lzw = _lzw_encode(stored.tobytes(), mcs)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        part = lzw[off:off + 255]
+        blocks += bytes([len(part)]) + part
+    blocks.append(0)
+    k = 3  # 8-entry color table
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    payload = (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (k - 1), 0, 0)
+        + pal.tobytes() + gce
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace flag
+        + bytes([mcs]) + bytes(blocks) + b"\x3b"
+    )
+    i2, p2 = decode_gif_indexed(payload)
+    assert (i2 == idx).all()
+    assert (p2 == pal).all()
+
+
+def test_gif_real_third_party_files():
+    """Decode GIFs produced by real-world encoders — the conformance check
+    for the LZW width-growth schedule (early vs late bump)."""
+    import os
+
+    if not os.path.isdir(_ICONS):
+        pytest.skip("no third-party GIF fixtures on this machine")
+    names = [n for n in os.listdir(_ICONS) if n.endswith(".gif")]
+    assert names, "fixture dir exists but holds no GIFs"
+    for n in names:
+        arr = decode_gif(open(f"{_ICONS}/{n}", "rb").read())
+        assert arr.ndim == 3 and arr.shape[2] == 3 and arr.size > 0
+
+
+def test_png_gif_match_java_imageio(spark):
+    """Independent-arbiter conformance: Spark's image data source decodes
+    via Java ImageIO (a codec stack we share zero code with); our decoders
+    must agree pixel-exactly.  ImageIO normalizes to BGR(A) and applies
+    GIF/tRNS transparency, so compare RGB channels on opaque pixels."""
+    import os
+
+    fixtures = [
+        f"{_SPARK_IMAGES}/BGRA.png",
+        f"{_ICONS}/idle_16.png",
+        f"{_ICONS}/idle_16.gif",
+        f"{_ICONS}/idle_48.gif",
+        f"{_ICONS}/python.gif",
+    ]
+    found = [p for p in fixtures if os.path.exists(p)]
+    if not found:
+        pytest.skip("no third-party image fixtures on this machine")
+    for p in found:
+        row = spark.read.format("image").load(p).select("image.*").collect()[0]
+        jav = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+            row.height, row.width, row.nChannels
+        )
+        raw = open(p, "rb").read()
+        mine = decode_png(raw) if p.endswith("png") else decode_gif(raw)
+        assert mine.shape[:2] == (row.height, row.width)
+        if mine.ndim == 2:
+            mine = np.repeat(mine[:, :, None], 3, axis=2)
+        if mine.shape[2] == 4 and row.nChannels == 4:
+            # full BGRA comparison, alpha included
+            assert (mine[:, :, [2, 1, 0, 3]] == jav).all(), p
+            continue
+        opaque = (
+            jav[:, :, 3] == 255
+            if row.nChannels == 4
+            else np.ones(jav.shape[:2], dtype=bool)
+        )
+        assert opaque.any(), p
+        assert (
+            mine[:, :, :3][:, :, ::-1][opaque] == jav[:, :, :3][opaque]
+        ).all(), p
 
 
 # hypothesis property round-trips — arbitrary shapes/values, not just the
@@ -213,6 +448,29 @@ try:
     def test_wav_round_trip_property(samples, rate):
         back, r = decode_wav(encode_wav(samples, rate))
         assert r == rate and (back == samples).all()
+
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 12), st.integers(1, 12), st.just(3)),
+        ),
+        st.integers(0, 4),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_png_round_trip_property(px, filter_type):
+        assert (decode_png(encode_png(px, filter_type=filter_type)) == px).all()
+
+    @given(
+        arrays(np.uint8, st.tuples(st.integers(1, 24), st.integers(1, 24))),
+        st.integers(2, 256),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_gif_round_trip_property(idx, npal):
+        idx = (idx % npal).astype(np.uint8)
+        pal = np.arange(npal * 3, dtype=np.uint32).reshape(npal, 3)
+        pal = (pal % 256).astype(np.uint8)
+        i2, p2 = decode_gif_indexed(encode_gif(idx, pal))
+        assert (i2 == idx).all() and (p2[:npal] == pal).all()
 
 except ImportError:  # pragma: no cover - hypothesis is in the base image
     pass

@@ -86,8 +86,11 @@ def test_media_metadata_spark(spark):
     assert len(by_id) == 20
     for r in out:
         if r["kind"] == "image":
-            assert r["probed_format"] == "bmp"
-            assert r["width"] >= 32 and r["height"] >= 24
+            # synth table cycles BMP / PNG / GIF image payloads (i % 4)
+            assert r["probed_format"] == {0: "bmp", 2: "png", 3: "gif"}[
+                r["media_id"] % 4
+            ]
+            assert r["width"] >= 20 and r["height"] >= 16
         else:
             assert r["probed_format"] == "wav"
             assert r["sample_rate"] == 16000
