@@ -745,6 +745,107 @@ def build_sig_store(
     ).parquet(path)
 
 
+def compact_sig_store(
+    spark,
+    path: str,
+    drop_ids: DataFrame | None = None,
+    min_batch_id: int | None = None,
+    files_per_band: int = 1,
+    preserve_batches: bool = False,
+) -> dict:
+    """Rewrite a persisted signature store in place: drop signatures of
+    deleted documents, expire old batches, and merge the small files that
+    per-batch appends accumulate.
+
+    A continuous-crawl store only ever GROWS under ``build_sig_store(
+    mode="append")`` / the streaming job's per-batch writes — at 10^12-doc
+    scale the store itself becomes the bottleneck (millions of small files;
+    signatures of long-deleted documents still probed).  Compaction is the
+    missing lifecycle step:
+
+    * ``drop_ids``  — a one-column frame of document ids to purge (documents
+      deleted/re-crawled since admission); applied as a left-anti equi-join.
+    * ``min_batch_id`` — TTL: rows from older streaming batches are dropped
+      (requires the store to carry ``batch_id``).
+    * ``files_per_band`` — the rewrite repartitions to this many files per
+      band partition, merging per-batch fragments.
+    * ``preserve_batches`` — keep the streaming layout ``batch_id=<b>/
+      band=<k>`` (so an in-flight stream's dynamic-overwrite idempotency
+      contract still holds); default False rewrites to the batch layout
+      ``band=<k>`` with ``batch_id`` retained as a data column (readable by
+      the stream's ``batch_id < b`` probe filter, but a stream must not
+      APPEND to a compacted store without ``preserve_batches``).
+
+    The rewrite goes to ``<path>.__compacting`` and is swapped in with two
+    filesystem renames (old → ``.__old`` → delete), the classic
+    rewrite-and-swap maintenance job — on an Iceberg deployment this whole
+    function maps to ``rewriteDataFiles`` + ``expireSnapshots`` with a
+    delete-filter, committed atomically by the table format.  Run it in a
+    maintenance window (it is not concurrency-safe against writers, which
+    is also true of dynamic partition overwrite on raw parquet).
+
+    Returns {rows_before, rows_after, files_before, files_after}.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath):
+        raise ValueError(f"signature store does not exist: {path}")
+
+    def _count_files(p) -> int:
+        it = fs.listFiles(p, True)
+        n = 0
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    store = spark.read.parquet(path)
+    has_batch = "batch_id" in store.columns
+    if min_batch_id is not None and not has_batch:
+        raise ValueError("min_batch_id TTL needs a batch_id column")
+    if preserve_batches and not has_batch:
+        raise ValueError("preserve_batches needs a batch_id column")
+    rows_before = store.count()
+    files_before = _count_files(hpath)
+    kept = store
+    if min_batch_id is not None:
+        kept = kept.filter(F.col("batch_id") >= min_batch_id)
+    if drop_ids is not None:
+        purge = drop_ids.toDF("id").select(F.col("id").cast(kept.schema["id"].dataType))
+        kept = kept.join(F.broadcast(purge), "id", "left_anti")
+    part_cols = ["batch_id", "band"] if preserve_batches else ["band"]
+    n_bands = kept.select("band").distinct().count()
+    tmp = path.rstrip("/") + ".__compacting"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_path):
+        fs.delete(tmp_path, True)
+    (
+        kept.repartition(max(1, n_bands * files_per_band), *part_cols)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(hpath, old):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(tmp_path, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"compaction swap failed: could not move {tmp} into place")
+    fs.delete(old, True)
+    out = spark.read.parquet(path)
+    return {
+        "rows_before": rows_before,
+        "rows_after": out.count(),
+        "files_before": files_before,
+        "files_after": _count_files(hpath),
+    }
+
+
 def incremental_near_dups(
     new_docs: DataFrame,
     store: DataFrame,

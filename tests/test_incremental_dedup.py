@@ -81,6 +81,92 @@ def test_store_append_admits_new_docs(spark, tmp_path):
     assert (200, 100) in got
 
 
+def test_compact_store_merges_and_purges(spark, tmp_path):
+    """Compaction invariant: after N appends + a compact cycle with
+    deletions, probing the store is IDENTICAL to probing a store freshly
+    built from the surviving documents — and the file count shrinks."""
+    from language_detection_spark.operators.dedup import compact_sig_store
+
+    old, new = _corpus(spark)
+    store_path = str(tmp_path / "sig_store_c")
+    build_sig_store(old, store_path)
+    build_sig_store(new, store_path, mode="append")  # fragments per band
+    stats = compact_sig_store(
+        spark,
+        store_path,
+        drop_ids=spark.createDataFrame([(1,), (101,)], "id long"),
+    )
+    assert stats["rows_before"] == 5 * 4 and stats["rows_after"] == 3 * 4
+    assert stats["files_after"] <= stats["files_before"]
+    store = spark.read.parquet(store_path)
+    assert set(r["id"] for r in store.select("id").distinct().collect()) == {
+        0, 2, 100,
+    }
+    # equivalence: compacted store ≡ fresh store over surviving docs
+    survivors = old.filter(F.col("doc_id") != 1).unionAll(
+        new.filter(F.col("doc_id") != 101)
+    )
+    probe = spark.createDataFrame(
+        [(300, old.first()["text"])], "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, incremental_near_dups(probe, store).collect())
+    )
+    fresh = sorted(
+        map(
+            tuple,
+            incremental_near_dups(
+                probe, banded_rows(minhash_signatures(survivors))
+            ).collect(),
+        )
+    )
+    assert got == fresh and got  # the base-text dup (300, 0) survives
+
+
+def test_compact_streaming_store_ttl(spark, tmp_path):
+    """TTL + layout preservation on a batch_id-partitioned streaming-style
+    store: old batches expire, the (batch_id, band) layout survives, and
+    the stream's `batch_id < b` probe filter still works."""
+    from language_detection_spark.operators.dedup import compact_sig_store
+
+    old, new = _corpus(spark)
+    store_path = str(tmp_path / "sig_store_s")
+    for bid, frame in [(0, old), (1, new)]:
+        (
+            banded_rows(minhash_signatures(frame))
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .partitionBy("batch_id", "band")
+            .parquet(store_path)
+        )
+    stats = compact_sig_store(
+        spark, store_path, min_batch_id=1, preserve_batches=True
+    )
+    assert stats["rows_after"] == 2 * 4
+    store = spark.read.parquet(store_path)
+    assert store.filter(F.col("batch_id") < 1).count() == 0
+    assert set(store.columns) >= {"batch_id", "band", "band_hash", "id", "sig"}
+    import os
+
+    assert any(
+        d.startswith("batch_id=") for d in os.listdir(store_path)
+    ), "streaming layout not preserved"
+
+
+def test_compact_rejects_bad_knobs(spark, tmp_path):
+    from language_detection_spark.operators.dedup import compact_sig_store
+
+    old, _ = _corpus(spark)
+    store_path = str(tmp_path / "sig_store_k")
+    build_sig_store(old, store_path)  # no batch_id column
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_id"):
+        compact_sig_store(spark, store_path, min_batch_id=1)
+    with pytest.raises(ValueError, match="does not exist"):
+        compact_sig_store(spark, str(tmp_path / "nope"))
+
+
 # --- property: incremental probe ≡ full-batch LSH cross-pairs --------------
 
 from hypothesis import given, settings

@@ -50,18 +50,45 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    skip_snapshots = False
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    if "--skip-snapshots" in args:
+        skip_snapshots = True
+        args.remove("--skip-snapshots")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    import os
+
+    # lazy oracles (IVF centroids, perplexity LM bake) resolve BEFORE any
+    # query runs, so point them at the same scale we are verifying
+    os.environ["SPARK_GRAFT_SF_ORACLE"] = sf_dir
     import __spark_entry__ as entrymod
     from language_detection_spark.config import get_spark
 
+    skipped: list[str] = []
+    if skip_snapshots:
+        # VALUES-snapshot pins are generated at sf0.01 — at any other
+        # scale they are wrong BY CONSTRUCTION, not a failure
+        from tools.gen_snapshots import SNAPSHOT_QUERIES
+
+        skipped = list(SNAPSHOT_QUERIES)
     spark = get_spark("verify-contract")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duck_conn(sf_dir)
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skipped:
+            print(f"skip  {name}: sf0.01-pinned snapshot oracle")
+            results[name] = {"skipped": "snapshot oracle is sf0.01-scale"}
             continue
         t0 = time.time()
         try:
@@ -71,6 +98,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"err": f"spark: {e}"}
             continue
         finally:
             # dedup/ANN queries persist intermediates for the action's
@@ -82,6 +110,7 @@ def main() -> int:
             release_tracked_caches()
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            results[name] = {"rows_only": True, "spark_rows": len(srows)}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -90,9 +119,19 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"err": f"duckdb: {e}"}
             continue
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
+        rec = {
+            "rows_match": len(sr) == len(dr),
+            "schema_match": sc == dc,
+            "values_match": sr == dr,
+            "spark_rows": len(sr),
+            "oracle_rows": len(dr),
+            "secs": round(time.time() - t0, 1),
+        }
+        results[name] = rec
         if sc != dc:
             print(f"FAIL  {name}: columns {sc} vs {dc}")
             failures.append(name)
@@ -106,6 +145,12 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        print(f"wrote {json_out}")
     if failures:
         print("FAILURES:", failures)
         return 1
