@@ -175,12 +175,19 @@ def test_release_tracked_caches_actually_releases(spark, dup_docs):
     Python refs)."""
     from language_detection_spark.plans.caching import release_tracked_caches
 
-    release_tracked_caches()  # clean slate
+    def _stored_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    release_tracked_caches()  # clean slate for the registry
+    before = _stored_ids()  # other fixtures may legitimately hold caches
     minhash_dedup_pairs(dup_docs, threshold=0.5).count()
     # the signature frame was persist_tracked inside the operator and its
     # local reference is gone — a weakref registry would release 0 here
     assert release_tracked_caches() >= 1
-    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+    assert _stored_ids() <= before, "tracked cache leaked past release"
 
 
 @pytest.fixture(scope="module")
