@@ -148,6 +148,11 @@ def main() -> None:
         "query_steal_max": steals,
         "repeats_per_query": max(1, repeats),
         "aggregation": "median",
+        # protocol version: r2/r3 committed SINGLE-SHOT COLD walls; r4+
+        # commits the median of N repeats in one session (run 1 is the
+        # cold run — see query_runs for the full series).  Compare r4
+        # medians to earlier rounds' numbers only via query_runs[0].
+        "protocol": "bench-v2-median-of-repeats-warm",
         "sf": sf_dir,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,

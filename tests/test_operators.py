@@ -158,6 +158,36 @@ def test_simhash_under_tabled_raises(spark):
         simhash_pairs_from_hashes(h, max_hamming=8, n_tables=4)
 
 
+def test_classify_batch_equals_per_doc():
+    """FastLangID.classify_batch (one batched extraction + one model
+    lookup) must be BIT-identical to per-doc classify — labels and
+    confidences — including None/empty/featureless/unicode edge docs."""
+    from language_detection_spark.models.factory import load_default_model
+    from language_detection_spark.operators.fast_langid import FastLangID
+
+    fast = FastLangID(load_default_model())
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        None,
+        "",
+        "   ",
+        "das ist ein deutscher satz mit einigen wörtern",
+        "ceci est une phrase française assez longue pour être classée",
+        "1234567890 !!!",
+        "日本語のテキストです、これは分類できるはずです",
+        "short",
+        "a",
+    ]
+    langs_b, confs_b = fast.classify_batch(texts)
+    for i, t in enumerate(texts):
+        if t is None:
+            assert langs_b[i] == "unknown" and confs_b[i] == 0.0
+            continue
+        lang_1, conf_1 = fast.classify(t)
+        assert langs_b[i] == lang_1, (i, t)
+        assert confs_b[i] == conf_1, (i, t)  # bitwise, not approx
+
+
 def test_simhash_conflicting_knobs_raise(spark):
     """n_tables with key_chunks>1 is a contradiction (multi-chunk blocking
     fixes the table count) — must raise, not silently ignore n_tables."""
