@@ -47,6 +47,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if b[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 

@@ -3,12 +3,14 @@ typed metadata, plus the Spark-side plumbing (schema, partitioning, Arrow
 batch shapes) for decode / feature-extract / resize / frame-sample.
 
 Decode is REAL for BMP (24-bit), PPM/PGM, WAV (PCM16), PNG (8-bit, stdlib
-zlib + numpy unfilter) and GIF (LZW implemented in functions/codecs.py) —
+zlib + numpy unfilter), GIF (LZW implemented in functions/codecs.py) and
+baseline JPEG (Huffman + dequant + IDCT in functions/jpeg.py) —
 ``decode_media`` sniffs the payload magic and decodes those without any
-codec library (the PNG/GIF decoders are cross-validated pixel-exact
-against Java ImageIO in tests/test_codecs.py).  The REMAINING compressed
-formats (JPEG/MP4/…) genuinely need libjpeg/ffmpeg, which are NOT in this
-environment, so for unrecognized payloads ``decode_media`` raises
+codec library (PNG/GIF decoders cross-validated pixel-exact and the JPEG
+decoder within ±1-2 counts against Java ImageIO in tests/test_codecs.py).
+The REMAINING formats (MP4/video, progressive JPEG) genuinely need
+ffmpeg/libjpeg, which are NOT in this environment, so for those
+``decode_media`` raises
 ``NotImplementedError`` unless ``fake=True``, in which case a clearly-marked
 deterministic fake decoder (seeded from the payload bytes) produces stable
 pseudo-content.  Everything around that one stub — column schemas,
@@ -142,13 +144,14 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
 
     REAL for every format with a native pure-Python/numpy codec (sniffed
     by magic bytes): 24-bit BMP, binary PPM/PGM, 8-bit PNG (stdlib zlib +
-    per-row unfilter) and GIF (LZW) decode to their pixel bytes; PCM16 WAV
-    decodes to samples mapped onto uint8 via ``(s + 32768) >> 8`` (a fixed
-    affine quantization, so downstream byte stats stay deterministic).
-    JPEG/MP4/… need libjpeg/ffmpeg — not in this container — so
-    unrecognized payloads raise unless ``fake=True``, which selects the
-    DETERMINISTIC FAKE decoder (pseudo-samples seeded from the payload
-    digest; stable across runs/machines)."""
+    per-row unfilter), GIF (LZW) and baseline JPEG decode to their pixel
+    bytes; PCM16 WAV decodes to samples mapped onto uint8 via
+    ``(s + 32768) >> 8`` (a fixed affine quantization, so downstream byte
+    stats stay deterministic).  MP4/video needs ffmpeg — not in this
+    container — so unrecognized payloads raise unless ``fake=True``,
+    which selects the DETERMINISTIC FAKE decoder (pseudo-samples seeded
+    from the payload digest; stable across runs/machines).  Malformed or
+    progressive JPEG raises ValueError from the decoder itself."""
     fmt = codecs.sniff_format(payload)
     if fmt == "bmp":
         return codecs.decode_bmp(payload).ravel()
@@ -158,6 +161,10 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         return codecs.decode_png(payload).ravel()
     if fmt == "gif":
         return codecs.decode_gif(payload).ravel()
+    if fmt == "jpeg":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload).ravel()
     if fmt == "wav":
         samples, _rate = codecs.decode_wav(payload)
         return (
@@ -165,9 +172,9 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         )
     if not fake:
         raise NotImplementedError(
-            "JPEG/MP4 codecs are unavailable in this environment "
-            "(BMP/PPM/PGM/WAV/PNG/GIF decode natively); pass fake=True for "
-            "the deterministic test decoder"
+            "MP4/video codecs are unavailable in this environment "
+            "(BMP/PPM/PGM/WAV/PNG/GIF/baseline-JPEG decode natively); pass "
+            "fake=True for the deterministic test decoder"
         )
     digest = hashlib.sha256(bytes(payload)).digest()
     seed = int.from_bytes(digest[:8], "big")
@@ -223,7 +230,8 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         idx, pal = codecs.decode_gif_indexed(payload)
         return codecs.encode_gif(resize_nearest(idx, height, width), pal)
     raise NotImplementedError(
-        "JPEG resize requires libjpeg (not in container); "
+        "resize re-encodes in the SAME format; the JPEG path is "
+        "decoder-only (functions/jpeg.py) and MP4 has no codec here — "
         "BMP/PPM/PGM/PNG/GIF resize natively"
     )
 
@@ -296,6 +304,10 @@ def resize_media(df: DataFrame, out_h: int = 32, out_w: int = 32,
                     px = codecs.decode_png(payload)
                 elif fmt == "gif":
                     px = codecs.decode_gif(payload)
+                elif fmt == "jpeg":
+                    from ..functions.jpeg import decode_jpeg
+
+                    px = decode_jpeg(payload)
                 else:
                     raw = decode_media(payload, kind, fake=fake)
                     # test decoder yields 256 pseudo-bytes; tile to the row's

@@ -133,9 +133,14 @@ def test_decode_media_real_formats():
     raw_a = decode_media(encode_wav(samples), "audio", fake=False)
     # fixed affine quantization (s + 32768) >> 8
     assert raw_a.tolist() == [0, 127, 128, 128, 255]
-    # compressed formats still refuse without fake=True
-    with pytest.raises(NotImplementedError):
+    # a malformed JPEG now reaches the real decoder and fails loudly
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0 fake jpeg header", "image", fake=False)
+    # formats with no native codec (video) still refuse without fake=True
+    with pytest.raises(NotImplementedError):
+        decode_media(
+            b"\x00\x00\x00\x18ftypisom not decodable", "video", fake=False
+        )
 
 
 def test_resize_image_real_round_trip():
@@ -162,7 +167,7 @@ def test_resize_image_real_round_trip():
     assert (small_idx == idx[::2][:, ::2]).all()  # palette reused, no requant
     assert (small_pal[:16] == pal).all()
     with pytest.raises(NotImplementedError):
-        resize_image(b"\xff\xd8\xff\xe0 fake jpeg", 2, 2)
+        resize_image(b"\x00\x00\x00\x18ftypisom not an image", 2, 2)
 
 
 def test_real_media_spark_end_to_end(spark):
@@ -372,6 +377,102 @@ def test_gif_real_third_party_files():
     for n in names:
         arr = decode_gif(open(f"{_ICONS}/{n}", "rb").read())
         assert arr.ndim == 3 and arr.shape[2] == 3 and arr.size > 0
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential decoder (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+_JPEGS = [
+    f"{_SPARK_IMAGES}/chr30.4.184.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/29.5.a_b_EGDP022204.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/54893.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP153539.jpg",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP802813.jpg",
+]
+
+
+def test_jpeg_decodes_real_files():
+    import os
+
+    from language_detection_spark.functions.jpeg import decode_jpeg
+
+    found = [p for p in _JPEGS if os.path.exists(p)]
+    if not found:
+        pytest.skip("no JPEG fixtures on this machine")
+    for p in found:
+        arr = decode_jpeg(open(p, "rb").read())
+        assert arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8
+        assert sniff_format(open(p, "rb").read()) == "jpeg"
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import os
+
+    from language_detection_spark.functions.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0 truncated")
+    prog = f"{_SPARK_IMAGES}/grayscale.jpg"  # SOF2 progressive
+    if os.path.exists(prog):
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(open(prog, "rb").read())
+
+
+def test_jpeg_matches_java_imageio(spark):
+    """Independent-arbiter conformance for the JPEG path: Java ImageIO
+    decodes via a separate native codec stack; entropy decode and geometry
+    must agree exactly, pixels within the IDCT/rounding tolerance (our
+    float IDCT vs their integer IDCT).  Bound: mean |diff| < 1 count,
+    <1% of pixels differ by more than 2 counts."""
+    import os
+
+    from language_detection_spark.functions.jpeg import decode_jpeg
+
+    found = [p for p in _JPEGS if os.path.exists(p)]
+    if not found:
+        pytest.skip("no JPEG fixtures on this machine")
+    for p in found:
+        row = spark.read.format("image").load(p).select("image.*").collect()[0]
+        jav = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+            row.height, row.width, row.nChannels
+        )
+        mine = decode_jpeg(open(p, "rb").read())
+        assert mine.shape[:2] == (row.height, row.width)
+        diff = np.abs(
+            mine[:, :, ::-1].astype(np.int32) - jav[:, :, :3].astype(np.int32)
+        )
+        assert float(diff.mean()) < 1.0, p
+        assert float((diff > 2).mean()) < 0.01, p
+
+
+def test_jpeg_through_decode_media_and_features(spark):
+    """decode_media routes JPEG to the real decoder; extract_features with
+    fake=False over a real JPEG payload produces geometry-true stats."""
+    import os
+
+    from language_detection_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        extract_features,
+    )
+
+    found = [p for p in _JPEGS if os.path.exists(p)]
+    if not found:
+        pytest.skip("no JPEG fixtures on this machine")
+    payload = open(found[0], "rb").read()
+    from language_detection_spark.functions.jpeg import decode_jpeg
+
+    h, w, _ = decode_jpeg(payload).shape
+    raw = decode_media(payload, "image", fake=False)
+    assert raw.size == h * w * 3
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(payload), w, h, None, 1)], MEDIA_SCHEMA
+    )
+    feats = extract_features(df, fake=False).collect()
+    assert len(feats) == 1 and sum(feats[0].byte_hist) == h * w * 3
 
 
 def test_png_gif_match_java_imageio(spark):
