@@ -19,10 +19,16 @@ the IDCT and color transform are float, so pixels can differ from another
 decoder's integer IDCT by ±1-2 counts — tests/test_codecs.py validates
 against Java ImageIO (Spark image source) with that tolerance.
 
-Decoder-only by design: the synthetic media tables encode BMP/PNG/GIF/WAV
-(formats with encoders here); a JPEG ENCODER would only re-test the same
-math in reverse.  Real deployments plug libjpeg for throughput; this
-module makes `decode_media` semantically complete for crawl payloads.
+An encoder (`encode_jpeg`) is included so synthetic tables and round-trip
+tests can produce genuine baseline streams: 4:4:4 sampling, Annex-K
+quantization scaled by `quality`, and deliberately simple fixed canonical
+Huffman tables (all DC categories at 4 bits, all AC symbols at 9 bits —
+a VALID prefix code that any conforming decoder reads from the DHT
+segments; compression ratio is irrelevant for tests, validity is not).
+Java ImageIO decodes our output within quantization error, which is the
+independent conformance check of the encoder.  Real deployments plug
+libjpeg for throughput; this module makes the media path semantically
+complete for crawl payloads.
 """
 
 from __future__ import annotations
@@ -212,6 +218,192 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         i += 2 + seglen
     raise ValueError("JPEG contains no scan data")
+
+
+# Annex K.1/K.2 quantization tables (raster order)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    # the libjpeg quality→scale mapping (public, jcparam.c semantics)
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing and 1-fill padding."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.buf = (self.buf << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.buf >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+# fixed canonical Huffman layouts: DC categories 0..11 all 4 bits long,
+# AC symbols 0..255 all 9 bits long — valid canonical tables (the code
+# space is half-used and the all-ones code is never assigned)
+_ENC_DC_COUNTS = bytes([0, 0, 0, 12] + [0] * 12)
+_ENC_DC_SYMBOLS = bytes(range(12))
+# 256 symbols don't fit one count byte: 255 at length 9 + 1 at length 10
+_ENC_AC_COUNTS = bytes([0] * 8 + [255, 1] + [0] * 6)
+_ENC_AC_SYMBOLS = bytes(range(256))
+
+
+def _enc_table(counts: bytes, symbols: bytes) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) for the canonical layout."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 → baseline JFIF JPEG bytes
+    (4:4:4, Annex-K quantization scaled by ``quality``, fixed canonical
+    Huffman tables).  Decodable by this module and by any conforming
+    decoder; lossy by quantization like any JPEG."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        planes = [px.astype(np.float64) - 128.0]
+        qts = [_scaled_qt(_QT_LUMA, quality)]
+        comp_qt = [0]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
+        comp_qt = [0, 1, 1]
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3), got {px.shape}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    dc_tab = _enc_table(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac_tab = _enc_table(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    by = -(-h // 8)
+    bx = -(-w // 8)
+    # pad planes to block multiples by edge replication
+    padded = []
+    for p in planes:
+        pp = np.pad(p, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+        padded.append(pp)
+    inv_zz = ZIGZAG  # zigzag[k] = raster index of k-th coeff
+    for myy in range(by):
+        for mxx in range(bx):
+            for ci, p in enumerate(padded):
+                block = p[myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8]
+                f = _A @ block @ _A.T
+                q = qts[comp_qt[ci]]
+                coef = np.rint(f / q).astype(np.int64)
+                zz = coef.ravel()[inv_zz]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s = _category(diff)
+                code, ln = dc_tab[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    if k > last_nz:
+                        break
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tab[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_tab[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tab[0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qts):
+        zzq = q.ravel()[inv_zz].astype(np.uint8)
+        out += seg(0xDB, bytes([ti]) + zzq.tobytes())
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, comp_qt[ci]])
+    out += seg(0xC0, sof)
+    # one DC and one AC table, shared by every component (scan ids 0/0)
+    for tc_th, counts, symbols in [
+        (0x00, _ENC_DC_COUNTS, _ENC_DC_SYMBOLS),
+        (0x10, _ENC_AC_COUNTS, _ENC_AC_SYMBOLS),
+    ]:
+        out += seg(0xC4, bytes([tc_th]) + counts + symbols)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _upsample(p: np.ndarray, factor: int, axis: int) -> np.ndarray:

@@ -89,18 +89,19 @@ def synth_real_media_df(
     spark: SparkSession, n: int = 100, seed: int = 42
 ) -> DataFrame:
     """Synthetic media table whose payloads are GENUINE encoded files:
-    24-bit BMP and 8-bit PNG images (deterministic gradient + seeded noise
-    pixels; PNG rows cycle filter types 0-4), LZW-compressed GIF images
-    (seeded palette patterns), and PCM16 WAV clips (seeded sine + noise).
-    Decoding these exercises the real pure-numpy codec paths end-to-end —
-    no fake decoder involved."""
+    24-bit BMP, 8-bit PNG (cycling filter types 0-4) and baseline-JPEG
+    images (deterministic gradient + seeded noise pixels), LZW-compressed
+    GIF images (seeded palette patterns), and PCM16 WAV clips (seeded
+    sine + noise).  Decoding these exercises the real pure-numpy codec
+    paths end-to-end — no fake decoder involved."""
     from ..functions import codecs as _c
+    from ..functions.jpeg import encode_jpeg as _enc_jpeg
 
     rows = []
     for i in range(n):
         rng = np.random.Generator(np.random.Philox(key=seed * 1_000_003 + i))
-        mod = i % 4
-        if mod in (0, 2):
+        mod = i % 5
+        if mod in (0, 2, 4):
             h, w = 24 + (i % 5) * 8, 32 + (i % 7) * 8
             yy, xx = np.mgrid[0:h, 0:w]
             base = ((yy * 255) // max(h - 1, 1) + (xx * 255) // max(w - 1, 1)) // 2
@@ -110,11 +111,12 @@ def synth_real_media_df(
                 0,
                 255,
             ).astype(np.uint8)
-            payload = (
-                _c.encode_bmp(px)
-                if mod == 0
-                else _c.encode_png(px, filter_type=(i // 4) % 5)
-            )
+            if mod == 0:
+                payload = _c.encode_bmp(px)
+            elif mod == 2:
+                payload = _c.encode_png(px, filter_type=(i // 5) % 5)
+            else:
+                payload = _enc_jpeg(px, quality=90)
             rows.append((i, "image", bytearray(payload), w, h, None, 1))
         elif mod == 1:
             rate = 16000
@@ -126,7 +128,7 @@ def synth_real_media_df(
             samples = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
             payload = _c.encode_wav(samples, rate)
             rows.append((i, "audio", bytearray(payload), None, None, rate, None))
-        else:
+        else:  # mod == 3: GIF
             h, w = 16 + (i % 6) * 8, 20 + (i % 4) * 8
             npal = 4 + (i % 13) * 16
             pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
@@ -229,10 +231,13 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     if fmt == "gif":
         idx, pal = codecs.decode_gif_indexed(payload)
         return codecs.encode_gif(resize_nearest(idx, height, width), pal)
+    if fmt == "jpeg":
+        from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+        return encode_jpeg(resize_nearest(decode_jpeg(payload), height, width))
     raise NotImplementedError(
-        "resize re-encodes in the SAME format; the JPEG path is "
-        "decoder-only (functions/jpeg.py) and MP4 has no codec here — "
-        "BMP/PPM/PGM/PNG/GIF resize natively"
+        "resize re-encodes in the SAME format; MP4/video has no codec "
+        "here — BMP/PPM/PGM/PNG/GIF/JPEG resize natively"
     )
 
 

@@ -195,9 +195,10 @@ def test_real_media_spark_end_to_end(spark):
     for m in aud:
         assert sum(by_id[m.media_id].byte_hist) == 2048
     # resize runs on the real decoded geometry (no metadata tiling);
-    # images are BMP / PNG / GIF rows (i % 4 in {0, 2, 3}) — 15 of 20
+    # images are BMP / PNG / GIF / JPEG rows (i % 5 in {0, 2, 3, 4}) —
+    # 16 of 20
     resized = resize_media(media, out_h=8, out_w=8, fake=False).collect()
-    assert len(resized) == 15
+    assert len(resized) == 16
     for r in resized:
         assert len(r.pixels) == 8 * 8 * 3  # RGB preserved
     # determinism: same seed → same features
@@ -419,6 +420,62 @@ def test_jpeg_rejects_progressive_and_garbage():
     if os.path.exists(prog):
         with pytest.raises(ValueError, match="baseline"):
             decode_jpeg(open(prog, "rb").read())
+
+
+def test_jpeg_encoder_round_trip():
+    """encode_jpeg → decode_jpeg: reconstruction within quantization error
+    (gradient content), exact gray at high quality, and the rejects."""
+    from language_detection_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    px = np.stack(
+        [((yy * 3 + xx * 2) % 256), ((yy * 5) % 256), ((xx * 7) % 256)],
+        axis=2,
+    ).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(px, quality=95))
+    d = np.abs(back.astype(int) - px.astype(int))
+    assert back.shape == px.shape and d.max() <= 8 and d.mean() < 1.0
+    g = ((yy * 4 + xx) % 256).astype(np.uint8)
+    backg = decode_jpeg(encode_jpeg(g, quality=95))
+    assert backg.shape == g.shape and (backg == g).all()  # gray: exact here
+    # worst-case content (noise) still bounded at quality 100
+    rng = np.random.default_rng(6)
+    n = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    dn = np.abs(
+        decode_jpeg(encode_jpeg(n, quality=100)).astype(int) - n.astype(int)
+    )
+    assert dn.max() <= 3
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((0, 4), np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 2), np.uint8))
+
+
+def test_jpeg_encoder_streams_decode_in_java_imageio(spark):
+    """Encoder conformance via the independent arbiter: Java ImageIO must
+    decode OUR baseline streams (fixed canonical Huffman tables, 4:4:4)
+    and reconstruct the original within quantization error."""
+    import os
+    import tempfile
+
+    from language_detection_spark.functions.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    px = np.stack(
+        [((yy * 3 + xx * 2) % 256), ((yy * 5) % 256), ((xx * 7) % 256)],
+        axis=2,
+    ).astype(np.uint8)
+    tmp = tempfile.mkdtemp()
+    p = os.path.join(tmp, "ours.jpg")
+    with open(p, "wb") as f:
+        f.write(encode_jpeg(px, quality=95))
+    row = spark.read.format("image").load(p).select("image.*").collect()[0]
+    assert (row.height, row.width) == px.shape[:2]
+    jav = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )
+    d = np.abs(jav[:, :, :3].astype(int) - px[:, :, ::-1].astype(int))
+    assert d.max() <= 8 and d.mean() < 1.0
 
 
 def test_jpeg_matches_java_imageio(spark):

@@ -86,10 +86,10 @@ def test_media_metadata_spark(spark):
     assert len(by_id) == 20
     for r in out:
         if r["kind"] == "image":
-            # synth table cycles BMP / PNG / GIF image payloads (i % 4)
-            assert r["probed_format"] == {0: "bmp", 2: "png", 3: "gif"}[
-                r["media_id"] % 4
-            ]
+            # synth table cycles BMP / PNG / GIF / JPEG payloads (i % 5)
+            assert r["probed_format"] == {
+                0: "bmp", 2: "png", 3: "gif", 4: "jpeg"
+            }[r["media_id"] % 5]
             assert r["width"] >= 20 and r["height"] >= 16
         else:
             assert r["probed_format"] == "wav"
