@@ -64,3 +64,45 @@ def test_dedup_stream_cross_batch(spark, tmp_path):
     assert set(
         r["batch_id"] for r in data.select("batch_id").distinct().collect()
     ) == {0, 1}
+
+
+def test_dedup_stream_survives_store_compaction(spark, tmp_path):
+    """Maintenance-window lifecycle: stream → compact the store
+    (preserve_batches keeps the streaming layout) → resume the stream with
+    new input.  The resumed stream must still drop near-dups of documents
+    admitted BEFORE compaction — the probe reads the rewritten store."""
+    from language_detection_spark.operators.dedup import compact_sig_store
+
+    in_dir = tmp_path / "in"
+    spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "h1"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_dedup_stream(
+        spark, f"{in_dir}/*/", SCHEMA, out, ckpt,
+        threshold=0.5, max_files_per_trigger=1,
+    )
+    stats = compact_sig_store(
+        spark, f"{out}/store", preserve_batches=True
+    )
+    assert stats["rows_after"] == 2 * 4
+    # new crawl hour arrives; resume from the SAME checkpoint
+    spark.createDataFrame(
+        [(200, BASE.replace("green", "dark")),   # near-dup of compacted 0
+         (201, "fresh content about volcanic islands and seabird colonies "
+               "nesting on the cliffs above the cold northern ocean")],
+        SCHEMA,
+    ).coalesce(1).write.parquet(str(in_dir / "h2"))
+    totals = run_dedup_stream(
+        spark, f"{in_dir}/*/", SCHEMA, out, ckpt,
+        threshold=0.5, max_files_per_trigger=1,
+    )
+    assert totals["rows_kept"] == 1  # 200 dropped via the compacted store
+    data = spark.read.parquet(f"{out}/data")
+    assert sorted(r["doc_id"] for r in data.select("doc_id").collect()) == [
+        0, 1, 201,
+    ]
+    store = spark.read.parquet(f"{out}/store")
+    assert sorted(
+        r["id"] for r in store.select("id").distinct().collect()
+    ) == [0, 1, 201]
