@@ -630,5 +630,24 @@ try:
         i2, p2 = decode_gif_indexed(encode_gif(idx, pal))
         assert (i2 == idx).all() and (p2[:npal] == pal).all()
 
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 20), st.integers(1, 20), st.just(3)),
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_jpeg_round_trip_property(px):
+        # JPEG is lossy; at quality 100 the error is bounded by DCT
+        # rounding + the q=1..2 quantization floor
+        from language_detection_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        back = decode_jpeg(encode_jpeg(px, quality=100))
+        assert back.shape == px.shape
+        assert np.abs(back.astype(int) - px.astype(int)).max() <= 6
+
 except ImportError:  # pragma: no cover - hypothesis is in the base image
     pass
