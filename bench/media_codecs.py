@@ -1,0 +1,96 @@
+"""Distributed media-decode benchmark (BENCH/media_codecs.json).
+
+Measures the multimodal path's throughput shape on local[N]: genuine
+encoded payloads (BMP / PNG cycling filter types / GIF / baseline JPEG /
+WAV) flow through ``extract_features(fake=False)`` — the
+mapInPandas + pure-numpy decode pipeline — and through the header-walk
+``media_metadata`` probe.  Reported per format so the codec costs are
+attributable (JPEG's Python Huffman loop is the slow path by design;
+deployments plug libjpeg there, the Spark plumbing is unchanged).
+
+Usage: python bench/media_codecs.py [n_rows_per_format]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+
+    from pyspark.sql import functions as F
+
+    from language_detection_spark.config import get_spark
+    from language_detection_spark.operators.multimodal import (
+        extract_features,
+        media_metadata,
+        synth_real_media_df,
+    )
+
+    spark = get_spark("media-codecs-bench")
+    # synth_real_media_df cycles 5 formats on i % 5 — n rows per format
+    media = synth_real_media_df(spark, n=5 * n).persist()
+    total = media.count()
+    by_kind = {
+        r["fmt"]: r["cnt"]
+        for r in media.groupBy(
+            (F.col("media_id") % 5).alias("m")
+        ).agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.element_at(
+                F.array(*[F.lit(x) for x in
+                          ["bmp", "wav", "png", "gif", "jpeg"]]),
+                F.col("m").cast("int") + 1,
+            ).alias("fmt"),
+            "cnt",
+        ).collect()
+    }
+    legs = {}
+
+    def timed(name, df):
+        t0 = time.time()
+        out = df.count()
+        wall = time.time() - t0
+        legs[name] = {
+            "rows": out,
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(out / wall, 1),
+        }
+
+    # whole-table decode + feature extraction (all five formats mixed)
+    timed("decode_features_all", extract_features(media, fake=False))
+    # per-format decode legs (cost attribution)
+    for mod, fmt in [(0, "bmp"), (2, "png"), (3, "gif"), (4, "jpeg"),
+                     (1, "wav")]:
+        sub = media.filter(F.col("media_id") % 5 == mod)
+        timed(f"decode_{fmt}", extract_features(sub, fake=False))
+    # header-walk metadata probe (no pixel decode)
+    timed("metadata_probe_all", media_metadata(media))
+    media.unpersist()
+
+    out = {
+        "n_rows": total,
+        "rows_per_format": by_kind,
+        "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count(),
+        "legs": legs,
+        "note": (
+            "pure-Python/numpy codecs; JPEG entropy decode is a Python "
+            "bit loop (correctness-first — swap in libjpeg for prod "
+            "throughput, the mapInPandas plumbing is identical)"
+        ),
+    }
+    spark.stop()
+    path = Path(__file__).resolve().parents[1] / "BENCH" / "media_codecs.json"
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
