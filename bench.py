@@ -131,6 +131,8 @@ def main() -> None:
     timed("repetition_stats",
           lambda: q["repetition_stats"](spark, sf_dir).count())
     timed("event_sessions", lambda: q["event_sessions"](spark, sf_dir).count())
+    timed("decontaminate",
+          lambda: q["decontaminate_docs"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

@@ -249,6 +249,59 @@ def holdout_split(df, id_col: str = "doc_id", holdout_permille: int = 100,
     )
 
 
+def word_ngram_hashes(text: Column, n: int) -> Column:
+    """Hashes of whitespace-word n-grams (one per position, occurrence
+    order; empty array for blank docs or docs with < n words).  md5-prefix
+    hashing so an independent engine reproduces every value."""
+    words = F.split(F.trim(text), r"\s+")
+    cnt = F.size(words) - (n - 1)
+    empty = F.array().cast("array<bigint>")
+    return (
+        F.when(F.length(F.trim(text)) == 0, empty)
+        .when(cnt < 1, empty)
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: md5_int(F.concat_ws(" ", F.slice(words, i, n))),
+            )
+        )
+    )
+
+
+def decontaminate(train, eval_df, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8):
+    """Test-set decontamination (the GPT-3-style n-gram collision check):
+    for every training document, count word-n-gram occurrences that also
+    appear anywhere in the evaluation set.  Returns (id, n_grams,
+    n_contaminated, contaminated) — the standard pipeline step drops or
+    audits documents with ``contaminated = true`` before training so
+    benchmark numbers aren't inflated by memorized eval data.
+
+    Scale shape: the EVAL side (benchmarks — KBs to MBs, never the
+    corpus) collapses to a distinct hash set and rides a broadcast join;
+    the TRAIN side is a map-side explode of pure expressions (no UDF, no
+    shuffle of the corpus) followed by a per-doc partial-aggregating
+    groupBy.  At 10^12 train rows the plan is scan → project/explode →
+    broadcast-hash-join → partial/final agg — one shuffle, keyed by the
+    doc id.  No reference analogue (classifier library); this is a
+    builder-brief training-data operator."""
+    grams = word_ngram_hashes(F.col(text_col), n)
+    ev = (
+        eval_df.select(F.explode(grams).alias("gh")).distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr = train.select(F.col(id_col), F.explode_outer(grams).alias("gh"))
+    return (
+        tr.join(F.broadcast(ev), "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gh").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
+
+
 def quality_terciles(df, id_col: str = "doc_id", lang_col: str = "lang",
                      text_col: str = "text"):
     """CCNet-style per-language corpus split (Wenzek et al. 2020): rank

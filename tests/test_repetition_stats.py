@@ -150,3 +150,37 @@ def test_quality_terciles_balanced_per_language(spark):
         head_min = min(r["q_score"] for r in out
                        if r["lang"] == lang and r["tercile"] == "head")
         assert tail_max < head_min
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc sharing an n-word span with an eval doc is flagged;
+    disjoint docs are not; short docs have zero grams; counts are
+    occurrence-based and the plan broadcasts the eval hash set."""
+    from language_detection_spark.operators.text_analysis import decontaminate
+
+    span = "one two three four five"
+    ev = spark.createDataFrame(
+        [(1000, f"benchmark question {span} answer choices")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, f"prefix words then {span} and a suffix"),     # planted hit
+            (1, "completely disjoint content with other terms here"),
+            (2, "tiny doc"),                                   # < n words
+            (3, f"{span} {span} again"),                       # hit twice+
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, ev, n=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["contaminated"] and rows[0]["n_contaminated"] >= 1
+    assert not rows[1]["contaminated"] and rows[1]["n_contaminated"] == 0
+    assert rows[2]["n_grams"] == 0 and not rows[2]["contaminated"]
+    assert rows[3]["contaminated"] and rows[3]["n_contaminated"] >= 2
+    # n_grams = occurrences: len(words) - n + 1 (doc 0 has 11 words)
+    assert rows[0]["n_grams"] == 11 - 5 + 1
+    # scale shape: the eval side must ride a broadcast join (never a
+    # shuffle of the training corpus against the benchmark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
