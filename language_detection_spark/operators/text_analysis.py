@@ -189,6 +189,42 @@ def source_stats(df, id_col: str = "doc_id", source_col: str = "source",
     )
 
 
+def weighted_sample_by_source(df, id_col: str = "doc_id",
+                              source_col: str = "source",
+                              salt: str = "mix:v1",
+                              rate_buckets: int = 5):
+    """Deterministic per-source weighted subsampling — the dataset-MIXING
+    step of a training pipeline (each domain/source kept at its own
+    rate).  Per-document keep decision: md5(salt ':' id) mod 10^6 <
+    rate·10^6, with the source's rate derived here as
+    (md5(source) mod ``rate_buckets`` + 1) / (rate_buckets + 1) so the
+    whole thing (rates included) is re-derivable by an independent
+    engine; a real pipeline supplies its target-mix rates as a broadcast
+    (source, rate) table instead — identical plan shape.
+
+    Why hash-Bernoulli instead of ``df.sample``: the decision is a pure
+    function of (salt, id) — stable across runs, partitionings and
+    cluster sizes, auditable row-by-row, and re-drawable independently by
+    changing the salt.  No shuffle at all: keep/drop is a map-side
+    filter."""
+    m = F.pmod(md5_int(F.col(source_col)), F.lit(rate_buckets))  # 0..B-1
+    bucket = F.pmod(
+        md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    # keep iff bucket/10^6 < (m+1)/(B+1), tested in INTEGER arithmetic so
+    # no float-boundary case can diverge between engines
+    return (
+        df.withColumn("keep_rate", F.round((m + 1) / F.lit(float(rate_buckets + 1)), 6))
+        .withColumn("sample_bucket", bucket)
+        .filter(
+            F.col("sample_bucket") * F.lit(rate_buckets + 1)
+            < (m + 1) * F.lit(1_000_000)
+        )
+        .select(id_col, source_col, "keep_rate", "sample_bucket")
+    )
+
+
 def cap_per_source(df, k: int = 2, id_col: str = "doc_id",
                    source_col: str = "source", text_col: str = "text",
                    n_partial: int = 64):

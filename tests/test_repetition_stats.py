@@ -184,3 +184,38 @@ def test_decontaminate_planted_overlap(spark):
     # shuffle of the training corpus against the benchmark)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_deterministic_and_calibrated(spark):
+    """Hash-Bernoulli mixing: identical output across partitionings, a
+    different draw under a different salt, empirical per-source keep rate
+    near the target, and a map-side plan (no shuffle, no sample())."""
+    from language_detection_spark.operators.text_analysis import (
+        weighted_sample_by_source,
+    )
+
+    rows = [(i, f"src{i % 5}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r["doc_id"] for r in weighted_sample_by_source(df).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample_by_source(df.repartition(13)).collect()
+    }
+    assert a == b  # layout-invariant
+    c = {
+        r["doc_id"]
+        for r in weighted_sample_by_source(df, salt="mix:v2").collect()
+    }
+    assert c != a  # independent draw
+    out = weighted_sample_by_source(df).collect()
+    kept = {}
+    rates = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+        rates[r["source"]] = r["keep_rate"]
+    for src, rate in rates.items():
+        emp = kept[src] / 1000.0  # 1000 docs per source
+        assert abs(emp - rate) < 0.06, (src, emp, rate)
+    plan = weighted_sample_by_source(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side filter
