@@ -721,6 +721,86 @@ def near_dup_clusters(
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """C4-style passage-level dedup (Raffel et al. 2020 deduplicated
+    three-sentence spans; here the span unit is a fixed ``k``-word
+    non-overlapping block, since crawl text normalized by this pipeline
+    is a single line): every span occurring more than once IN THE WHOLE
+    CORPUS is dropped except its first occurrence (minimal (doc, pos)),
+    and documents are reconstructed from their surviving spans.
+
+    Returns (id, n_passages, n_dropped, text_dedup) for every input
+    document (text_dedup = '' when everything was dropped or the doc was
+    blank).
+
+    Scale shape: explode is map-side; the dedup decision is ONE partial-
+    aggregating groupBy keyed by the span string itself (no hash-collision
+    caveat at 10^12 spans), rejoined by span; reconstruction is a second
+    groupBy keyed by doc id with an in-group sort — no windows over the
+    corpus, no driver-side state.  Span strings are bounded (k words), so
+    shuffle rows stay small."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_pass = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    spans = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<struct<pos:int,span:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_pass),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(
+                    " ", F.slice(words, (i - F.lit(1)) * k + 1, k)
+                ).alias("span"),
+            ),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode_outer(spans).alias("p")
+    ).select("_id", F.col("p.pos").alias("pos"), F.col("p.span").alias("span"))
+    keepers = (
+        exploded.filter(F.col("span").isNotNull())
+        .groupBy("span")
+        .agg(F.min(F.struct("_id", "pos")).alias("first"))
+    )
+    kept = (
+        exploded.join(keepers, "span")
+        .filter(
+            (F.col("_id") == F.col("first._id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("_id", "pos", "span")
+    )
+    totals = exploded.groupBy("_id").agg(
+        F.count("span").alias("n_passages")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("text_dedup"),
+    )
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_passages",
+            (F.col("n_passages") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .alias("n_dropped"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 # --- incremental dedup against a persisted signature store -----------------
 
 

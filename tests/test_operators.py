@@ -492,3 +492,30 @@ def test_ivf_persisted_index_matches_direct_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "centroid" in plan.split(
         "PartitionFilters"
     )[1][:200], plan[:3000]
+
+
+def test_passage_dedup_semantics(spark):
+    """First corpus occurrence of a span survives, later ones drop;
+    reconstruction preserves in-doc order; blank docs yield ('', 0, 0);
+    partial tail spans dedup like any other."""
+    from language_detection_spark.operators.dedup import passage_dedup
+
+    boiler = "all rights reserved contact us"          # one exact 5-word span
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta epsilon"),
+        (1, f"unique opening words here now {boiler}"),   # boiler at pos 2
+        (2, "   "),                                       # blank
+        (3, f"{boiler}"),                                 # only the boiler
+        (4, "short tail"),                                # single partial span
+        (5, "short tail"),                                # exact dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in passage_dedup(df, k=5).collect()}
+    assert len(got) == 6
+    assert got[0]["n_dropped"] == 0 and got[0]["text_dedup"] == rows[0][1]
+    assert got[1]["n_dropped"] == 1
+    assert got[1]["text_dedup"] == "unique opening words here now"
+    assert got[2]["n_passages"] == 0 and got[2]["text_dedup"] == ""
+    assert got[3]["n_dropped"] == 1 and got[3]["text_dedup"] == ""
+    assert got[4]["n_dropped"] == 0 and got[4]["text_dedup"] == "short tail"
+    assert got[5]["n_dropped"] == 1 and got[5]["text_dedup"] == ""
