@@ -1,11 +1,12 @@
 """Pure-numpy codecs for media containers that need no external codec
 library: BMP (24-bit BI_RGB), PPM/PGM (binary P6/P5), WAV (PCM16), PNG
 (8-bit, via stdlib zlib + per-row unfilter), and GIF (LZW, implemented
-here).  The multimodal decode path is therefore REAL for all five in this
-environment; the remaining compressed formats (JPEG/MP4/…) genuinely
-require libjpeg/ffmpeg and stay stubbed behind NotImplementedError in
-operators/multimodal.py (their header-walk metadata probes below are
-real).
+here); baseline JPEG has its own pure-numpy codec in functions/jpeg.py.
+The multimodal decode path is therefore REAL for all of BMP/PPM/PGM/WAV/
+PNG/GIF/JPEG in this environment; only MP4/video (and progressive JPEG)
+genuinely require ffmpeg/libjpeg and stay stubbed behind
+NotImplementedError in operators/multimodal.py (their header-walk
+metadata probes below are real).
 
 Encoders exist so tests and synthetic tables can produce genuine on-disk
 payload bytes; decoders validate headers strictly and raise ValueError on

@@ -192,6 +192,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                if hv >> 4 < 1 or hv & 0x0F < 1:
+                    raise ValueError(
+                        f"JPEG SOF component {cid} has sampling factor 0"
+                    )
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
@@ -212,6 +216,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_map[cs] = (tables >> 4, tables & 0x0F)
+            # malformed streams must fail with ValueError, not KeyError,
+            # so callers' "corrupt payload" handling stays one except away
+            for comp in frame["comps"]:
+                if comp["id"] not in scan_map:
+                    raise ValueError(
+                        f"JPEG SOS missing component id {comp['id']}"
+                    )
+                if comp["tq"] not in qt:
+                    raise ValueError(
+                        f"JPEG references undefined quant table {comp['tq']}"
+                    )
+                dc_t, ac_t = scan_map[comp["id"]]
+                if dc_t not in huff_dc or ac_t not in huff_ac:
+                    raise ValueError(
+                        f"JPEG references undefined Huffman table "
+                        f"(dc={dc_t}, ac={ac_t})"
+                    )
             return _decode_scan(
                 b, i + 2 + seglen, frame, scan_map, qt, huff_dc, huff_ac,
                 restart_interval,

@@ -825,13 +825,39 @@ def build_sig_store(
     ).parquet(path)
 
 
+def sig_store_layout(spark, path: str) -> str | None:
+    """Detect a persisted signature store's physical layout from its
+    top-level partition directories: ``"stream"`` for ``batch_id=<b>/
+    band=<k>`` (the streaming job's per-batch dynamic-overwrite layout),
+    ``"batch"`` for ``band=<k>`` (build_sig_store / compacted layout),
+    ``None`` when the path is missing or carries no partition dirs yet.
+
+    Mixing the two under one root makes ``spark.read.parquet`` fail with
+    conflicting partition depths, so both the compactor and the streaming
+    writer consult this before touching an existing store."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath):
+        return None
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            return "stream"
+        if name.startswith("band="):
+            return "batch"
+    return None
+
+
 def compact_sig_store(
     spark,
     path: str,
     drop_ids: DataFrame | None = None,
     min_batch_id: int | None = None,
     files_per_band: int = 1,
-    preserve_batches: bool = False,
+    preserve_batches: bool | None = None,
+    drop_ids_small: bool = False,
 ) -> dict:
     """Rewrite a persisted signature store in place: drop signatures of
     deleted documents, expire old batches, and merge the small files that
@@ -851,10 +877,21 @@ def compact_sig_store(
       band partition, merging per-batch fragments.
     * ``preserve_batches`` — keep the streaming layout ``batch_id=<b>/
       band=<k>`` (so an in-flight stream's dynamic-overwrite idempotency
-      contract still holds); default False rewrites to the batch layout
+      contract still holds); False rewrites to the batch layout
       ``band=<k>`` with ``batch_id`` retained as a data column (readable by
       the stream's ``batch_id < b`` probe filter, but a stream must not
-      APPEND to a compacted store without ``preserve_batches``).
+      APPEND to a compacted store without ``preserve_batches`` — the
+      stream's write path also enforces this, raising on a band-first
+      store).  Default ``None`` auto-detects: a store whose top-level
+      partition directories are ``batch_id=<b>`` keeps the streaming
+      layout, anything else gets the batch layout — so running the default
+      compaction against a live stream's store can never leave mixed
+      partition depths behind.
+    * ``drop_ids_small`` — assert that the purge frame fits a broadcast
+      (an explicit ``F.broadcast`` hint is applied).  Default False lets
+      AQE pick the anti-join strategy: a continuous-crawl purge set (every
+      re-crawled url since the last maintenance window) can be billions of
+      rows, far beyond broadcast size.
 
     The rewrite goes to ``<path>.__compacting`` and is swapped in with two
     filesystem renames (old → ``.__old`` → delete), the classic
@@ -886,6 +923,8 @@ def compact_sig_store(
     has_batch = "batch_id" in store.columns
     if min_batch_id is not None and not has_batch:
         raise ValueError("min_batch_id TTL needs a batch_id column")
+    if preserve_batches is None:
+        preserve_batches = sig_store_layout(spark, path) == "stream"
     if preserve_batches and not has_batch:
         raise ValueError("preserve_batches needs a batch_id column")
     rows_before = store.count()
@@ -895,7 +934,9 @@ def compact_sig_store(
         kept = kept.filter(F.col("batch_id") >= min_batch_id)
     if drop_ids is not None:
         purge = drop_ids.toDF("id").select(F.col("id").cast(kept.schema["id"].dataType))
-        kept = kept.join(F.broadcast(purge), "id", "left_anti")
+        if drop_ids_small:
+            purge = F.broadcast(purge)
+        kept = kept.join(purge, "id", "left_anti")
     part_cols = ["batch_id", "band"] if preserve_batches else ["band"]
     n_bands = kept.select("band").distinct().count()
     tmp = path.rstrip("/") + ".__compacting"

@@ -215,9 +215,10 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Encoded image → nearest-neighbor resize → re-encoded SAME format.
-    REAL for BMP, PPM/PGM, PNG and GIF (pure-numpy codecs; GIF resizes in
-    index space and reuses the original palette, so no re-quantization);
-    JPEG would need libjpeg, which is not in this container."""
+    REAL for BMP, PPM/PGM, PNG, GIF and baseline JPEG (pure-numpy codecs;
+    GIF resizes in index space and reuses the original palette, so no
+    re-quantization; JPEG re-encodes through functions/jpeg.py).  Only
+    video stays stubbed (needs ffmpeg, not in this container)."""
     fmt = codecs.sniff_format(payload)
     if fmt == "bmp":
         px = codecs.decode_bmp(payload)

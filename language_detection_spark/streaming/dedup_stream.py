@@ -32,6 +32,7 @@ from ..operators.dedup import (
     incremental_near_dups,
     minhash_dedup_pairs,
     minhash_signatures,
+    sig_store_layout,
 )
 from ..plans.caching import release_tracked_caches
 
@@ -126,6 +127,17 @@ def run_dedup_stream(
         committed = spark.read.parquet(f"{out_dir}/data").filter(
             F.col("batch_id") == batch_id
         )
+        # the store write below creates batch_id=<b>/band=<k> partitions;
+        # appending that layout onto a store compacted down to band=<k>
+        # would leave mixed partition depths that spark.read.parquet
+        # rejects — fail loudly instead of corrupting the store
+        # (compact with preserve_batches=True while a stream is live)
+        if sig_store_layout(spark, store_path) == "batch":
+            raise RuntimeError(
+                f"signature store {store_path} has the compacted band=<k> "
+                "layout; the streaming writer needs the batch_id=<b>/"
+                "band=<k> layout (re-compact with preserve_batches=True)"
+            )
         (
             banded_rows(minhash_signatures(committed, text_col, id_col))
             .withColumn("batch_id", F.lit(batch_id))

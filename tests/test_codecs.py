@@ -422,6 +422,31 @@ def test_jpeg_rejects_progressive_and_garbage():
             decode_jpeg(open(prog, "rb").read())
 
 
+def test_jpeg_malformed_headers_raise_valueerror():
+    """Undefined Huffman/quant table references, SOS/SOF component-id
+    mismatches, and zero sampling factors are ValueError (the documented
+    malformed-input contract), never KeyError/ZeroDivisionError."""
+    from language_detection_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_jpeg(g, quality=90)
+    sof = good.find(b"\xff\xc0")
+    sos = good.find(b"\xff\xda")
+    assert sof > 0 and sos > sof
+    # layout: SOF0 comp0 at sof+10 (id, hv, tq); SOS comp0 at sos+5 (id, tables)
+    cases = [
+        (sos + 6, 0x33, "Huffman"),          # undefined dc/ac table 3
+        (sof + 12, 3, "quant"),              # undefined quant table 3
+        (sof + 11, 0x10, "sampling factor"), # v sampling factor 0
+        (sos + 5, 9, "missing component"),   # SOS names a non-frame id
+    ]
+    for off, val, msg in cases:
+        bad = bytearray(good)
+        bad[off] = val
+        with pytest.raises(ValueError, match=msg):
+            decode_jpeg(bytes(bad))
+
+
 def test_jpeg_encoder_round_trip():
     """encode_jpeg → decode_jpeg: reconstruction within quantization error
     (gradient content), exact gray at high quality, and the rejects."""

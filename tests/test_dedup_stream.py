@@ -106,3 +106,33 @@ def test_dedup_stream_survives_store_compaction(spark, tmp_path):
     assert sorted(
         r["id"] for r in store.select("id").distinct().collect()
     ) == [0, 1, 201]
+
+
+def test_dedup_stream_rejects_compacted_store_layout(spark, tmp_path):
+    """Compacting a live stream's store down to the flat band=<k> layout
+    (preserve_batches=False) must make the resumed stream FAIL its batch
+    instead of appending batch_id=<b>/band=<k> dirs next to band=<k> ones
+    (which would corrupt the store for every future read)."""
+    import pytest
+
+    from language_detection_spark.operators.dedup import compact_sig_store
+
+    in_dir = tmp_path / "in"
+    spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "h1"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_dedup_stream(
+        spark, f"{in_dir}/*/", SCHEMA, out, ckpt,
+        threshold=0.5, max_files_per_trigger=1,
+    )
+    compact_sig_store(spark, f"{out}/store", preserve_batches=False)
+    spark.createDataFrame(
+        [(300, "novel words about glaciers calving into arctic fjords")],
+        SCHEMA,
+    ).coalesce(1).write.parquet(str(in_dir / "h2"))
+    with pytest.raises(Exception, match="preserve_batches=True"):
+        run_dedup_stream(
+            spark, f"{in_dir}/*/", SCHEMA, out, ckpt,
+            threshold=0.5, max_files_per_trigger=1,
+        )

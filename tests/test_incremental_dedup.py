@@ -153,6 +153,38 @@ def test_compact_streaming_store_ttl(spark, tmp_path):
     ), "streaming layout not preserved"
 
 
+def test_compact_auto_detects_stream_layout(spark, tmp_path):
+    """Default compaction (preserve_batches=None) must not flatten a
+    streaming-layout store to band=<k> — mixed partition depths after the
+    stream's next append would break spark.read.parquet on the store."""
+    from language_detection_spark.operators.dedup import (
+        compact_sig_store,
+        sig_store_layout,
+    )
+
+    old, new = _corpus(spark)
+    store_path = str(tmp_path / "sig_store_auto")
+    for bid, frame in [(0, old), (1, new)]:
+        (
+            banded_rows(minhash_signatures(frame))
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .partitionBy("batch_id", "band")
+            .parquet(store_path)
+        )
+    assert sig_store_layout(spark, store_path) == "stream"
+    compact_sig_store(spark, store_path)  # no preserve_batches arg
+    assert sig_store_layout(spark, store_path) == "stream"
+    import os
+
+    assert any(d.startswith("batch_id=") for d in os.listdir(store_path))
+    # a batch-built store still compacts to the flat band=<k> layout
+    flat_path = str(tmp_path / "sig_store_flat")
+    build_sig_store(old, flat_path)
+    compact_sig_store(spark, flat_path)
+    assert sig_store_layout(spark, flat_path) == "batch"
+
+
 def test_compact_rejects_bad_knobs(spark, tmp_path):
     from language_detection_spark.operators.dedup import compact_sig_store
 

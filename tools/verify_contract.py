@@ -64,8 +64,8 @@ def main() -> int:
     only = set(args[1:])
     import os
 
-    # lazy oracles (IVF centroids, perplexity LM bake) resolve BEFORE any
-    # query runs, so point them at the same scale we are verifying
+    # lazy oracles (IVF centroids, perplexity LM bake) receive sf_dir
+    # explicitly below; the env hint is kept for any zero-arg resolver
     os.environ["SPARK_GRAFT_SF_ORACLE"] = sf_dir
     import __spark_entry__ as entrymod
     from language_detection_spark.config import get_spark
@@ -79,7 +79,7 @@ def main() -> int:
         skipped = list(SNAPSHOT_QUERIES)
     spark = get_spark("verify-contract")
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = entrymod.oracle_sql(sf_dir)
     con = duck_conn(sf_dir)
     failures = []
     results: dict[str, dict] = {}
