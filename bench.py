@@ -133,6 +133,15 @@ def main() -> None:
     timed("event_sessions", lambda: q["event_sessions"](spark, sf_dir).count())
     timed("decontaminate",
           lambda: q["decontaminate_docs"](spark, sf_dir).count())
+    timed("passage_dedup",
+          lambda: q["passage_dedup_docs"](spark, sf_dir).count())
+    timed("weighted_sample",
+          lambda: q["source_weighted_sample"](spark, sf_dir).count())
+    timed("holdout_split", lambda: q["holdout_split"](spark, sf_dir).count())
+    timed("quality_terciles",
+          lambda: q["quality_terciles"](spark, sf_dir).count())
+    timed("perplexity_terciles",
+          lambda: q["perplexity_terciles"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

@@ -78,10 +78,15 @@ def test_snapshot_pins_exist_for_all_snapshot_queries():
         ROOT / "language_detection_spark" / "data" / "oracle_snapshots"
     )
     for n in names:
-        f = snap_dir / f"{n}.sql"
-        assert f.exists() and f.stat().st_size > 100, f"missing pin: {n}"
+        for d in (snap_dir, snap_dir / "sf0.1"):
+            f = d / f"{n}.sql"
+            assert f.exists() and f.stat().st_size > 100, (
+                f"missing pin: {f.relative_to(snap_dir)}"
+            )
     # and no orphan pins for queries the generator no longer covers
     orphans = sorted(
-        p.stem for p in snap_dir.glob("*.sql") if p.stem not in names
+        str(p.relative_to(snap_dir))
+        for p in snap_dir.rglob("*.sql")
+        if p.stem not in names
     )
     assert orphans == [], f"orphan snapshot pins: {orphans}"
