@@ -189,6 +189,153 @@ def main() -> int:
             **cstats,
         }
     )
+    # store-growth probe leg: a FIXED trickle batch probed against a store
+    # that grows generation by generation.  flat layout: every probe's
+    # candidate join scans + shuffles the WHOLE store.  bucketed layout
+    # (bh_bucket partitions, band_hash range-clustered, one file per
+    # partition dir per append): the probe prunes the scan to the buckets
+    # the batch's hashes fall in and pushes the literal hashes into the
+    # parquet filter.  The load-bearing metric is rows/files the probe
+    # join reads from the store (plan-exact, noise-free on a shared-
+    # tenant VM); wall time is reported with the caveat that at bench
+    # scale it still carries fixed per-job overhead and driver-side file
+    # listing (on Iceberg the manifest takes that role).
+    from language_detection_spark.operators.dedup import (
+        bh_bucket_col,
+        incremental_near_dups,
+        minhash_signatures,
+    )
+
+    n_buckets = 256
+    gens = 4
+    gen_size = max(10_000, min(250_000, (n_docs - boiler_n) // gens))
+    probe_n = 5
+    # probe docs duplicate generation-0 documents (ids shifted out of the
+    # store's range) so every probe finds real store hits
+    probe = (
+        docs.filter(
+            (F.col("doc_id") >= boiler_n)
+            & (F.col("doc_id") < boiler_n + probe_n)
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
+    ).persist()
+    probe.count()
+    hit_buckets = [
+        r[0]
+        for r in banded_rows(minhash_signatures(probe))
+        .select(bh_bucket_col(n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    growth: dict[str, list] = {"flat": [], "bucketed": []}
+    import shutil
+
+    for layout, buckets in (("flat", None), ("bucketed", n_buckets)):
+        sdir = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"),
+            f"skew_growth_store_{n_docs}_{layout}",
+        )
+        shutil.rmtree(sdir, ignore_errors=True)
+        for g in range(gens):
+            gen = docs.filter(
+                (F.col("doc_id") >= boiler_n + g * gen_size)
+                & (F.col("doc_id") < boiler_n + (g + 1) * gen_size)
+            )
+            build_sig_store(
+                gen, sdir,
+                mode="overwrite" if g == 0 else "append",
+                store_buckets=buckets,
+            )
+            store = spark.read.parquet(sdir)
+            # rows/files the probe join's store side actually reads: the
+            # whole store for flat, the hit buckets (partition-pruned
+            # scan) for bucketed
+            pruned = (
+                store.filter(F.col("bh_bucket").isin(hit_buckets))
+                if buckets
+                else store
+            )
+            rows_read = pruned.count()
+            hit_dirs = {f"bh_bucket={hb}" for hb in hit_buckets}
+            files_read = sum(
+                len([f for f in files if f.endswith(".parquet")])
+                for root, _, files in os.walk(sdir)
+                if not buckets or os.path.basename(root) in hit_dirs
+            )
+            t0 = time.time()
+            n_hits = incremental_near_dups(
+                probe, store, store_buckets=buckets
+            ).count()
+            probe_sec = time.time() - t0
+            release_tracked_caches()
+            growth[layout].append(
+                {
+                    "gen": g + 1,
+                    "store_rows": (g + 1) * gen_size * 4,
+                    "store_rows_read_by_probe": rows_read,
+                    "store_files_read_by_probe": files_read,
+                    "probe_sec": round(probe_sec, 2),
+                    "probe_hits": n_hits,
+                }
+            )
+    f_rows = [x["store_rows_read_by_probe"] for x in growth["flat"]]
+    b_rows = [x["store_rows_read_by_probe"] for x in growth["bucketed"]]
+    legs.append(
+        {
+            "leg": "store_growth_probe",
+            "gen_docs": gen_size,
+            "probe_docs": probe_n,
+            "store_buckets": n_buckets,
+            "probe_hit_buckets": len(hit_buckets),
+            "flat": growth["flat"],
+            "bucketed": growth["bucketed"],
+            # store-side rows the probe join reads at the largest store,
+            # bucketed vs flat — the scan-pruning factor the layout buys
+            "probe_read_reduction_x": round(f_rows[-1] / max(b_rows[-1], 1), 1),
+            # and how the bucketed probe's read amplification grows as
+            # the store 4x-es (1.0 = perfectly flat; compare flat's 4.0)
+            "bucketed_read_growth_x": round(b_rows[-1] / max(b_rows[0], 1), 2),
+            "flat_read_growth_x": round(f_rows[-1] / max(f_rows[0], 1), 2),
+        }
+    )
+    probe.unpersist()
+
+    # passage-dedup hot-span leg (the VERDICT-flagged skew risk): the
+    # boilerplate cluster makes every one of its k-word spans occur
+    # boiler_n times corpus-wide — the span equi-join's worst case.  The
+    # decision side is a partial-agg groupBy (combiner absorbs the hot
+    # key map-side); the rejoin relies on AQE skew-split.  Measure it on
+    # the skewed corpus slice and check the output is exactly right for
+    # the boilerplate group (1 full survivor + boiler-only docs emptied).
+    from language_detection_spark.operators.dedup import passage_dedup
+
+    slice_n = min(n_docs, max(200_000, boiler_n * 2))
+    pslice = docs.filter(F.col("doc_id") < slice_n)
+    t0 = time.time()
+    pd_out = passage_dedup(pslice).persist()
+    n_out = pd_out.count()
+    boiler_emptied = pd_out.filter(
+        (F.col("doc_id") < boiler_n) & (F.col("n_dropped") == F.col("n_passages"))
+    ).count()
+    pd_wall = time.time() - t0
+    pd_out.unpersist()
+    release_tracked_caches()
+    legs.append(
+        {
+            "leg": "passage_dedup_hot_span",
+            "docs": slice_n,
+            "hot_span_occurrences": boiler_n,
+            "wall_sec": round(pd_wall, 2),
+            "docs_per_sec": round(slice_n / pd_wall, 1),
+            "rows_out": n_out,
+            # exactly one boilerplate doc keeps its spans (the min
+            # (doc,pos) owner); every other boilerplate doc is fully
+            # dropped
+            "boiler_docs_fully_dropped": boiler_emptied,
+            "boiler_dedup_exact": boiler_emptied == boiler_n - 1,
+        }
+    )
+
     deduped.unpersist()
     out = {
         "note": (

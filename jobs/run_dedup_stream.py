@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     ap.add_argument("--threshold-est", type=float, default=0.5,
                     help="store-probe signature-estimated Jaccard threshold")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--store-buckets", type=int, default=16,
+                    help="band_hash-prefix partitions per band in the "
+                    "signature store (file-pruned store probe); 0 keeps "
+                    "the flat band-only layout")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -59,6 +63,7 @@ def main(argv=None) -> int:
         threshold=args.threshold,
         threshold_est=args.threshold_est,
         max_files_per_trigger=args.max_files_per_trigger,
+        store_buckets=args.store_buckets or None,
     )
     wall = round(time.time() - t0, 2)
     print(json.dumps({**totals, "wall_sec": wall,

@@ -61,6 +61,11 @@ def get_spark(app_name: str = "language-detection-spark", cores: int | None = No
         # Spark 4.1's ChecksumCheckpointFileManager can deadlock its await
         # inside stateful-streaming state-store commits in local mode
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+        # default 10: above it Spark degrades parquet In pushdown to a
+        # min/max range filter, which is useless for uniform hashes — the
+        # sig-store trickle probe pushes up to ~1k literal band_hashes so
+        # row groups in the range-clustered store can actually be skipped
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
     )
     for k, v in extra.items():
         b = b.config(k, v)

@@ -55,80 +55,76 @@ for _k in range(8):
 
 
 class _HuffTable:
-    """Canonical Huffman table from a DHT segment: (length, code) → symbol."""
+    """Canonical Huffman table from a DHT segment, compiled to a 16-bit
+    peek LUT (codes are ≤16 bits): ``lut_sym[v16]`` / ``lut_len[v16]``
+    give the decoded symbol and its code length for any 16-bit stream
+    window; ``lut_len == 0`` marks an invalid prefix.  One array index
+    replaces the per-bit tree walk — the decode loop's hot operation."""
 
     def __init__(self, counts: bytes, symbols: bytes):
-        self.lookup: dict[tuple[int, int], int] = {}
+        self.lut_sym = np.zeros(1 << 16, np.uint8)
+        self.lut_len = np.zeros(1 << 16, np.uint8)
         code = 0
         i = 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
-                self.lookup[(length, code)] = symbols[i]
+                lo = code << (16 - length)
+                self.lut_sym[lo : lo + (1 << (16 - length))] = symbols[i]
+                self.lut_len[lo : lo + (1 << (16 - length))] = length
                 code += 1
                 i += 1
             code <<= 1
 
 
-class _BitReader:
-    """MSB-first bit reader over an entropy-coded segment, unescaping
-    stuffed bytes (0xFF 0x00 → 0xFF) and stopping at any real marker."""
+def _entropy_segments(b: bytes, pos: int) -> list[np.ndarray]:
+    """Entropy-coded data from ``pos`` → list of unescaped (0xFF00 →
+    0xFF) byte arrays, one per restart segment (split at RSTn markers),
+    ending at the first real marker.  Fill bytes (0xFF before a marker)
+    are dropped.  Vectorized marker scan: one pass over the 0xFF
+    positions instead of a per-byte Python loop."""
+    arr = np.frombuffer(b, np.uint8, len(b) - pos, pos)
+    ffs = np.flatnonzero(arr == 0xFF)
+    spans: list[np.ndarray] = []
+    segs: list[np.ndarray] = []
+    cur = 0
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.buf = 0
-        self.nbits = 0
+    def _finish(end: int) -> None:
+        spans.append(arr[cur:end])
+        segs.append(
+            np.concatenate(spans) if len(spans) > 1 else spans[0].copy()
+        )
+        spans.clear()
 
-    def _fill(self) -> bool:
-        b = self.data
-        p = self.pos
-        if p >= len(b):
-            return False
-        byte = b[p]
-        if byte == 0xFF:
-            if p + 1 < len(b) and b[p + 1] == 0x00:
-                self.pos = p + 2  # stuffed 0xFF
-            else:
-                return False  # a real marker terminates the segment
-        else:
-            self.pos = p + 1
-        self.buf = (self.buf << 8) | byte
-        self.nbits += 8
-        return True
+    for f in map(int, ffs):
+        if f < cur:
+            continue
+        if f + 1 >= len(arr):
+            break  # truncated at a lone 0xFF — decode reports it
+        nb = int(arr[f + 1])
+        if nb == 0x00:  # stuffed data byte: keep the 0xFF, drop the 0x00
+            spans.append(arr[cur : f + 1])
+            cur = f + 2
+        elif nb == 0xFF:  # fill byte before a marker: drop one 0xFF
+            spans.append(arr[cur:f])
+            cur = f + 1
+        elif 0xD0 <= nb <= 0xD7:  # restart marker: next segment
+            _finish(f)
+            cur = f + 2
+        else:  # any real marker terminates the scan
+            _finish(f)
+            return segs
+    _finish(len(arr))
+    return segs
 
-    def read_bit(self) -> int:
-        if self.nbits == 0 and not self._fill():
-            raise ValueError("JPEG entropy stream truncated")
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def decode(self, table: _HuffTable) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
-
-    def sync_restart(self) -> None:
-        """Byte-align and consume an RSTn marker."""
-        self.buf = 0
-        self.nbits = 0
-        b = self.data
-        p = self.pos
-        while p + 1 < len(b):
-            if b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7:
-                self.pos = p + 2
-                return
-            p += 1
-        raise ValueError("JPEG restart marker expected but not found")
+def _bit_window(seg: np.ndarray) -> tuple[np.ndarray, int]:
+    """(u32, nbits): ``u32[i]`` holds bytes i..i+3 big-endian, so the
+    16-bit window at bit offset p is ``(u32[p>>3] << (p&7)) >> 16`` —
+    one index + shift per peek.  Zero-padded so peeks near the end stay
+    in bounds; ``nbits`` is the segment's real bit length."""
+    m = np.concatenate([seg, np.zeros(16, np.uint8)]).astype(np.uint32)
+    u32 = (m[:-3] << 24) | (m[1:-2] << 16) | (m[2:-1] << 8) | m[3:]
+    return u32, len(seg) * 8
 
 
 def _extend(v: int, s: int) -> int:
@@ -323,11 +319,19 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """(H, W) gray or (H, W, 3) RGB uint8 → baseline JFIF JPEG bytes
     (4:4:4, Annex-K quantization scaled by ``quality``, fixed canonical
     Huffman tables).  Decodable by this module and by any conforming
-    decoder; lossy by quantization like any JPEG."""
+    decoder; lossy by quantization like any JPEG.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    N MCUs: each restart segment is then independently decodable (DC
+    predictors reset), which is what lets a decoder — this module's
+    segment-split decoder included — process a large image's entropy
+    segments in isolation (the classic parallel-JPEG mechanism)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         planes = [px.astype(np.float64) - 128.0]
@@ -348,12 +352,15 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError(f"bad restart interval {restart_interval}")
     dc_tab = _enc_table(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
     ac_tab = _enc_table(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
     bw = _BitWriter()
     pred = [0] * len(planes)
     by = -(-h // 8)
     bx = -(-w // 8)
+    mcu_count = 0
     # pad planes to block multiples by edge replication
     padded = []
     for p in planes:
@@ -362,6 +369,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     inv_zz = ZIGZAG  # zigzag[k] = raster index of k-th coeff
     for myy in range(by):
         for mxx in range(bx):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes(
+                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                )
+                pred = [0] * len(planes)
+            mcu_count += 1
             for ci, p in enumerate(padded):
                 block = p[myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8]
                 f = _A @ block @ _A.T
@@ -417,6 +432,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         (0x10, _ENC_AC_COUNTS, _ENC_AC_SYMBOLS),
     ]:
         out += seg(0xC4, bytes([tc_th]) + counts + symbols)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])
@@ -455,47 +472,89 @@ def _decode_scan(b, pos, frame, scan_map, qt, huff_dc, huff_ac,
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
-    ]
-    rd = _BitReader(b, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                rd.sync_restart()
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dc_t, ac_t = scan_map[c["id"]]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64)
-                        s = rd.decode(huff_dc[dc_t])
-                        diff = _extend(rd.read_bits(s), s) if s else 0
-                        pred[ci] += diff
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = rd.decode(huff_ac[ac_t])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL: 16 zeros
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overrun")
-                            coef[ZIGZAG[k]] = _extend(rd.read_bits(s), s)
-                            k += 1
-                        block = _A.T @ (coef.reshape(8, 8) * q) @ _A
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
+    n_mcus = mcux * mcuy
+    # per-MCU block template: component index of each interleaved block
+    tmpl = [ci for ci, c in enumerate(comps) for _ in range(c["v"] * c["h"])]
+    bpm = len(tmpl)
+    dc_tabs = [huff_dc[scan_map[c["id"]][0]] for c in comps]
+    ac_tabs = [huff_ac[scan_map[c["id"]][1]] for c in comps]
+
+    # pass 1 — entropy decode every block's coefficients (raster order)
+    # into one (n_blocks, 64) array.  Restart segments were pre-split and
+    # unescaped, so the hot loop is LUT lookups over a u32 peek window:
+    # no per-bit work, no byte-unstuffing branches.
+    coefs = np.zeros((n_mcus * bpm, 64))
+    segs = _entropy_segments(b, pos)
+    ri = restart_interval or n_mcus
+    n_segs = -(-n_mcus // ri)
+    if len(segs) < n_segs:
+        raise ValueError("JPEG restart marker expected but not found")
+    zz = ZIGZAG
+    bi = 0
+    try:
+        for si in range(n_segs):
+            u32, seg_bits = _bit_window(segs[si])
+            p = 0
+            pred = [0] * len(comps)
+            for _ in range(min(ri, n_mcus - si * ri)):
+                for ci in tmpl:
+                    dct = dc_tabs[ci]
+                    v16 = (int(u32[p >> 3]) << (p & 7) & 0xFFFFFFFF) >> 16
+                    s = int(dct.lut_sym[v16])
+                    ln = int(dct.lut_len[v16])
+                    if ln == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    p += ln
+                    if s:
+                        v16 = (int(u32[p >> 3]) << (p & 7) & 0xFFFFFFFF) >> 16
+                        pred[ci] += _extend(v16 >> (16 - s), s)
+                        p += s
+                    row = coefs[bi]
+                    row[0] = pred[ci]
+                    act = ac_tabs[ci]
+                    k = 1
+                    while k < 64:
+                        v16 = (int(u32[p >> 3]) << (p & 7) & 0xFFFFFFFF) >> 16
+                        rs = int(act.lut_sym[v16])
+                        ln = int(act.lut_len[v16])
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        p += ln
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL: 16 zeros
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overrun")
+                        v16 = (int(u32[p >> 3]) << (p & 7) & 0xFFFFFFFF) >> 16
+                        row[zz[k]] = _extend(v16 >> (16 - s), s)
+                        p += s
+                        k += 1
+                    bi += 1
+            if p > seg_bits:
+                raise ValueError("JPEG entropy stream truncated")
+    except IndexError:
+        raise ValueError("JPEG entropy stream truncated") from None
+
+    # pass 2 — dequantize + IDCT every block of a component in ONE einsum,
+    # then assemble the plane with a reshape/transpose (block order is
+    # (my, mx, by, bx), so no scatter loop is needed)
+    tmpl_arr = np.asarray(tmpl)
+    planes = []
+    for ci, c in enumerate(comps):
+        sel = np.flatnonzero(tmpl_arr == ci)
+        rows = (np.arange(n_mcus)[:, None] * bpm + sel[None, :]).ravel()
+        blocks = coefs[rows].reshape(-1, 8, 8) * qt[c["tq"]]
+        idct = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A)
+        v, hh = c["v"], c["h"]
+        planes.append(
+            idct.reshape(mcuy, mcux, v, hh, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * v * 8, mcux * hh * 8)
+        )
     # crop + upsample each plane to (h, w)
     out_planes = []
     for c, p in zip(comps, planes):

@@ -804,6 +804,19 @@ def passage_dedup(
 # --- incremental dedup against a persisted signature store -----------------
 
 
+def bh_bucket_col(n_buckets: int) -> Column:
+    """File-pruning bucket derived from the band_hash hex string (md5
+    prefix → uniform): the store is partitioned by (band, bh_bucket) so a
+    probe batch can prune the store SCAN to the buckets its own hashes
+    fall in — the store side of the probe join then reads O(batch-coverage)
+    files instead of the whole store, which is what keeps per-batch probe
+    cost sub-linear as a continuous-crawl store grows."""
+    return (
+        F.conv(F.substring(F.col("band_hash"), 1, 4), 16, 10).cast("int")
+        % n_buckets
+    )
+
+
 def build_sig_store(
     df: DataFrame,
     path: str,
@@ -813,16 +826,37 @@ def build_sig_store(
     bands: int = 4,
     shingle_k: int = 3,
     mode: str = "overwrite",
+    store_buckets: int | None = None,
 ) -> None:
     """Persist the banded MinHash signature rows (id, sig, band, band_hash)
     for a corpus, partitioned by band — the state a continuous-crawl
     pipeline carries between runs so old documents are never re-shingled.
-    ``mode="append"`` admits newly accepted documents into the store."""
+    ``mode="append"`` admits newly accepted documents into the store.
+
+    ``store_buckets`` adds a ``bh_bucket`` partition column (band_hash
+    prefix modulo) so incremental probes can prune store files by hash
+    range; pass the same value to ``incremental_near_dups`` when probing.
+    Rows are range-clustered by band_hash inside each partition so parquet
+    row-group min/max stats can skip within files too."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
-    banded_rows(sigs, bands, rows_per_band).write.mode(mode).partitionBy(
-        "band"
-    ).parquet(path)
+    rows = banded_rows(sigs, bands, rows_per_band)
+    if store_buckets is None:
+        rows.write.mode(mode).partitionBy("band").parquet(path)
+    else:
+        # repartition BY the partition columns first: without it every
+        # input task writes its own fragment into every (band, bh_bucket)
+        # dir — bands*buckets*tasks small files per append, the exact
+        # small-files explosion the bucketed layout must not cause.
+        # With it each partition dir gets exactly one file per write.
+        (
+            rows.withColumn("bh_bucket", bh_bucket_col(store_buckets))
+            .repartition(F.col("band"), F.col("bh_bucket"))
+            .sortWithinPartitions("band", "bh_bucket", "band_hash")
+            .write.mode(mode)
+            .partitionBy("band", "bh_bucket")
+            .parquet(path)
+        )
 
 
 def sig_store_layout(spark, path: str) -> str | None:
@@ -938,13 +972,17 @@ def compact_sig_store(
             purge = F.broadcast(purge)
         kept = kept.join(purge, "id", "left_anti")
     part_cols = ["batch_id", "band"] if preserve_batches else ["band"]
-    n_bands = kept.select("band").distinct().count()
+    n_parts = n_bands = kept.select("band").distinct().count()
+    if "bh_bucket" in kept.columns:  # hash-bucketed store: keep the layout
+        part_cols.append("bh_bucket")
+        n_parts = n_bands * kept.select("bh_bucket").distinct().count()
     tmp = path.rstrip("/") + ".__compacting"
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
     if fs.exists(tmp_path):
         fs.delete(tmp_path, True)
     (
-        kept.repartition(max(1, n_bands * files_per_band), *part_cols)
+        kept.repartition(max(1, n_parts * files_per_band), *part_cols)
+        .sortWithinPartitions(*part_cols, "band_hash")
         .write.mode("overwrite")
         .partitionBy(*part_cols)
         .parquet(tmp)
@@ -977,6 +1015,8 @@ def incremental_near_dups(
     shingle_k: int = 3,
     threshold_est: float = 0.5,
     max_bucket_size: int | None = 1000,
+    store_buckets: int | None = None,
+    probe_pushdown_max_hashes: int = 1024,
 ) -> DataFrame:
     """New-vs-store near-dup pairs: (id_new, id_old, est_jaccard).
 
@@ -992,7 +1032,16 @@ def incremental_near_dups(
     ``max_bucket_size`` drops (band, band_hash) buckets whose combined
     new+store membership exceeds the cap (boilerplate guard, same
     rationale as lsh_candidate_pairs).  New-batch ids must be disjoint
-    from store ids."""
+    from store ids.
+
+    ``store_buckets`` (must match the value the store was built with —
+    ``build_sig_store(store_buckets=...)``): prune the store scan to the
+    ``bh_bucket`` partitions the new batch's hashes fall in BEFORE any
+    join or size aggregation touches it.  The bucket list is a bounded
+    collect (≤ store_buckets values), the filter lands in the parquet
+    scan's PartitionFilters, and every store read below (bucket sizes,
+    candidate join, signature verification) sees only the pruned frame —
+    so probe cost tracks the batch's hash coverage, not the store size."""
     rows_per_band = num_perm // bands
     new_sigs = persist_tracked(
         minhash_signatures(new_docs, text_col, id_col, num_perm, shingle_k)
@@ -1000,6 +1049,32 @@ def incremental_near_dups(
     new_banded = banded_rows(new_sigs, bands, rows_per_band).select(
         "id", "band", "band_hash"
     )
+    if store_buckets is not None and "bh_bucket" in store.columns:
+        hit = [
+            r[0]
+            for r in new_banded.select(
+                bh_bucket_col(store_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        store = store.filter(F.col("bh_bucket").isin(hit))
+        # trickle-batch fast path: when the batch carries few distinct
+        # hashes, push them as a literal In filter into the store scan —
+        # with the store range-clustered by band_hash, parquet row-group
+        # min/max stats skip everything outside the batch's hash set, so
+        # the probe reads O(batch) row groups however old the store is.
+        # (bounded collect: the LIMIT caps driver memory; past the cap the
+        # bucket pruning above still applies.)
+        hashes = [
+            r[0]
+            for r in new_banded.select("band_hash")
+            .distinct()
+            .limit(probe_pushdown_max_hashes + 1)
+            .collect()
+        ]
+        if len(hashes) <= probe_pushdown_max_hashes:
+            store = store.filter(F.col("band_hash").isin(hashes))
     store_banded = store.select("id", "band", "band_hash")
     if max_bucket_size is not None:
         sizes = (

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     banded_rows,
+    bh_bucket_col,
     exact_dedup,
     incremental_near_dups,
     minhash_dedup_pairs,
@@ -53,6 +54,7 @@ def _dedup_batch(
     text_col: str,
     threshold: float,
     threshold_est: float,
+    store_buckets: int | None = None,
 ) -> DataFrame:
     """Survivors of one micro-batch: exact → in-batch near-dup → store
     probe."""
@@ -71,6 +73,7 @@ def _dedup_batch(
             text_col=text_col,
             id_col=id_col,
             threshold_est=threshold_est,
+            store_buckets=store_buckets,
         )
         dup_vs_store = hits.select(
             F.col("id_new").alias(id_col)
@@ -90,10 +93,16 @@ def run_dedup_stream(
     threshold: float = 0.8,
     threshold_est: float = 0.5,
     max_files_per_trigger: int | None = None,
+    store_buckets: int | None = 16,
 ) -> dict:
     """availableNow streaming dedup; returns {n_batches, rows_in,
     rows_kept}.  Output layout: ``<out>/data/batch_id=<b>/`` survivors,
-    ``<out>/store/batch_id=<b>/band=<k>/`` their banded signatures."""
+    ``<out>/store/batch_id=<b>/band=<k>/bh_bucket=<j>/`` their banded
+    signatures (``store_buckets`` band_hash-prefix partitions per band,
+    default 16, so each batch's store probe prunes files by hash range
+    instead of scanning the whole store — the per-batch probe cost then
+    tracks the batch's bucket coverage, not the store's age; None keeps
+    the flat band-only layout)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -114,8 +123,23 @@ def run_dedup_stream(
                 store = None
         else:
             store = None
+        if store is not None and (store_buckets is not None) != (
+            "bh_bucket" in store.columns
+        ):
+            raise RuntimeError(
+                f"signature store {store_path} "
+                + (
+                    "lacks the bh_bucket partition this stream would "
+                    "write; resume with store_buckets=None or rebuild "
+                    "the store bucketed"
+                    if store_buckets is not None
+                    else "is bh_bucket-partitioned but this stream has "
+                    "store_buckets=None; pass the store's bucket count"
+                )
+            )
         kept = _dedup_batch(
-            batch_df, store, id_col, text_col, threshold, threshold_est
+            batch_df, store, id_col, text_col, threshold, threshold_est,
+            store_buckets,
         )
         (
             kept.withColumn("batch_id", F.lit(batch_id))
@@ -138,12 +162,21 @@ def run_dedup_stream(
                 "layout; the streaming writer needs the batch_id=<b>/"
                 "band=<k> layout (re-compact with preserve_batches=True)"
             )
+        sig_rows = banded_rows(
+            minhash_signatures(committed, text_col, id_col)
+        ).withColumn("batch_id", F.lit(batch_id))
+        part_cols = ["batch_id", "band"]
+        if store_buckets is not None:
+            # one file per (band, bh_bucket) dir per batch — see
+            # build_sig_store on why the repartition is load-bearing
+            sig_rows = sig_rows.withColumn(
+                "bh_bucket", bh_bucket_col(store_buckets)
+            ).repartition(F.col("band"), F.col("bh_bucket"))
+            part_cols.append("bh_bucket")
         (
-            banded_rows(minhash_signatures(committed, text_col, id_col))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+            sig_rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "band")
+            .partitionBy(*part_cols)
             .parquet(store_path)
         )
         totals["n_batches"] += 1

@@ -422,6 +422,32 @@ def test_jpeg_rejects_progressive_and_garbage():
             decode_jpeg(open(prog, "rb").read())
 
 
+def test_jpeg_restart_interval_round_trip():
+    """encode_jpeg(restart_interval=N) emits DRI + RSTn markers; the
+    decoder's segment-split path must reproduce EXACTLY the pixels of the
+    plain stream (restart only resets DC predictors, never changes
+    values)."""
+    from language_detection_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    px = np.stack(
+        [((yy * 3 + xx) % 256), ((xx * 5) % 256), ((yy * 7) % 256)], axis=2
+    ).astype(np.uint8)
+    plain = encode_jpeg(px, quality=90)
+    restarted = encode_jpeg(px, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in restarted and b"\xff\xdd" not in plain
+    assert b"\xff\xd0" in restarted  # first RST marker present
+    assert (decode_jpeg(restarted) == decode_jpeg(plain)).all()
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(px, restart_interval=-1)
+    # a stream PROMISING restarts but missing them must raise, not loop
+    broken = bytearray(restarted)
+    i = broken.find(b"\xff\xd0")
+    broken[i : i + 2] = b"\x00\x00"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(broken))
+
+
 def test_jpeg_malformed_headers_raise_valueerror():
     """Undefined Huffman/quant table references, SOS/SOF component-id
     mismatches, and zero sampling factors are ValueError (the documented

@@ -64,6 +64,42 @@ def test_incremental_matches_in_memory_store(spark, tmp_path):
     assert sorted(map(tuple, from_disk)) == sorted(map(tuple, in_mem))
 
 
+def test_bucketed_store_probe_equivalent_and_pruned(spark, tmp_path):
+    """bh_bucket-partitioned store: the probe must return exactly the
+    flat-layout pairs AND its store scan must carry a bh_bucket
+    PartitionFilter (file pruning — the store side of the probe join
+    reads only the buckets the batch's hashes fall in, so probe cost
+    tracks batch coverage, not store size)."""
+    from language_detection_spark.operators.dedup import bh_bucket_col
+
+    old, new = _corpus(spark)
+    flat_path = str(tmp_path / "sig_flat")
+    bkt_path = str(tmp_path / "sig_bkt")
+    build_sig_store(old, flat_path)
+    build_sig_store(old, bkt_path, store_buckets=8)
+    bkt_store = spark.read.parquet(bkt_path)
+    assert "bh_bucket" in bkt_store.columns
+    flat_pairs = incremental_near_dups(
+        new, spark.read.parquet(flat_path)
+    ).collect()
+    probed = incremental_near_dups(new, bkt_store, store_buckets=8)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, flat_pairs)
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bh_bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1][:400], "store scan is not partition-pruned by bh_bucket"
+    # the bucket expression itself is consistent across engines/sides
+    got = (
+        banded_rows(minhash_signatures(old))
+        .select(bh_bucket_col(8).alias("b"))
+        .agg(F.min("b"), F.max("b"))
+        .first()
+    )
+    assert 0 <= got[0] and got[1] < 8
+
+
 def test_store_append_admits_new_docs(spark, tmp_path):
     old, new = _corpus(spark)
     store_path = str(tmp_path / "sig_store3")
