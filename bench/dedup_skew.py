@@ -201,6 +201,7 @@ def main() -> int:
     # scale it still carries fixed per-job overhead and driver-side file
     # listing (on Iceberg the manifest takes that role).
     from language_detection_spark.operators.dedup import (
+        banded_rows,
         bh_bucket_col,
         incremental_near_dups,
         minhash_signatures,

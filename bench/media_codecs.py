@@ -5,8 +5,9 @@ encoded payloads (BMP / PNG cycling filter types / GIF / baseline JPEG /
 WAV) flow through ``extract_features(fake=False)`` — the
 mapInPandas + pure-numpy decode pipeline — and through the header-walk
 ``media_metadata`` probe.  Reported per format so the codec costs are
-attributable (JPEG's Python Huffman loop is the slow path by design;
-deployments plug libjpeg there, the Spark plumbing is unchanged).
+attributable.  (JPEG entropy decode is LUT-based over pre-split restart
+segments since round 5 — ~7-20× the old per-bit loop; libjpeg remains
+the production swap-in, the Spark plumbing is unchanged either way.)
 
 Usage: python bench/media_codecs.py [n_rows_per_format]
 """
