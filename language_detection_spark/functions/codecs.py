@@ -3,10 +3,10 @@ library: BMP (24-bit BI_RGB), PPM/PGM (binary P6/P5), WAV (PCM16), PNG
 (8-bit, via stdlib zlib + per-row unfilter), and GIF (LZW, implemented
 here); baseline JPEG has its own pure-numpy codec in functions/jpeg.py.
 The multimodal decode path is therefore REAL for all of BMP/PPM/PGM/WAV/
-PNG/GIF/JPEG in this environment; only MP4/video (and progressive JPEG)
-genuinely require ffmpeg/libjpeg and stay stubbed behind
-NotImplementedError in operators/multimodal.py (their header-walk
-metadata probes below are real).
+PNG/GIF/JPEG (baseline AND progressive) in this environment; only
+MP4/video genuinely requires ffmpeg and stays stubbed behind
+NotImplementedError in operators/multimodal.py (its header-walk
+metadata probe below is real).
 
 Encoders exist so tests and synthetic tables can produce genuine on-disk
 payload bytes; decoders validate headers strictly and raise ValueError on

@@ -1,13 +1,13 @@
-"""Pure-Python/numpy BASELINE JPEG decoder (ITU-T T.81 sequential DCT,
+"""Pure-Python/numpy JPEG codec (ITU-T T.81 sequential + progressive DCT,
 Huffman entropy coding) — no libjpeg, no PIL.
 
-Scope: SOF0 (baseline sequential), 8-bit samples, grayscale or 3-component
-YCbCr with any JFIF sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...),
-restart markers (DRI/RSTn), multiple DQT/DHT segments, stuffed-byte
-unescaping.  Out of scope (explicit ValueError): progressive (SOF2),
-arithmetic coding (SOF9+), 12-bit precision, hierarchical modes — those
-genuinely need a full codec library and are documented stubs in
-`operators/multimodal.py`.
+Scope: SOF0/1 (baseline sequential) AND SOF2 (progressive: spectral
+selection + successive approximation per T.81 Annex G), 8-bit samples,
+grayscale or 3-component YCbCr with any JFIF sampling factors (4:4:4 /
+4:2:2 / 4:2:0 / ...), restart markers (DRI/RSTn), multiple DQT/DHT
+segments, stuffed-byte unescaping.  Out of scope (explicit ValueError):
+arithmetic coding (SOF9+), 12-bit precision, lossless/hierarchical
+modes — genuinely a full codec library's territory.
 
 Pipeline per the spec: marker parse → per-MCU Huffman decode (DC diff +
 RLE AC in zigzag order) → dequantize → 8x8 IDCT (orthonormal separable
@@ -76,12 +76,14 @@ class _HuffTable:
             code <<= 1
 
 
-def _entropy_segments(b: bytes, pos: int) -> list[np.ndarray]:
-    """Entropy-coded data from ``pos`` → list of unescaped (0xFF00 →
-    0xFF) byte arrays, one per restart segment (split at RSTn markers),
-    ending at the first real marker.  Fill bytes (0xFF before a marker)
-    are dropped.  Vectorized marker scan: one pass over the 0xFF
-    positions instead of a per-byte Python loop."""
+def _entropy_segments(b: bytes, pos: int) -> tuple[list[np.ndarray], int]:
+    """Entropy-coded data from ``pos`` → (segments, end): unescaped
+    (0xFF00 → 0xFF) byte arrays, one per restart segment (split at RSTn
+    markers), ending at the first real marker; ``end`` is the absolute
+    offset of that terminating marker's 0xFF (``len(b)`` when the stream
+    ran out — the decoder reports truncation).  Fill bytes (0xFF before
+    a marker) are dropped.  Vectorized marker scan: one pass over the
+    0xFF positions instead of a per-byte Python loop."""
     arr = np.frombuffer(b, np.uint8, len(b) - pos, pos)
     ffs = np.flatnonzero(arr == 0xFF)
     spans: list[np.ndarray] = []
@@ -112,9 +114,9 @@ def _entropy_segments(b: bytes, pos: int) -> list[np.ndarray]:
             cur = f + 2
         else:  # any real marker terminates the scan
             _finish(f)
-            return segs
+            return segs, pos + f
     _finish(len(arr))
-    return segs
+    return segs, len(b)
 
 
 def _bit_window(seg: np.ndarray) -> tuple[np.ndarray, int]:
@@ -134,7 +136,9 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes → (H, W) uint8 grayscale or (H, W, 3) uint8 RGB.
-    Raises ValueError on progressive/arithmetic/12-bit streams."""
+    Handles baseline (SOF0/1) and progressive (SOF2) streams; raises
+    ValueError on arithmetic/12-bit/lossless streams and malformed
+    input."""
     b = bytes(payload)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -142,6 +146,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    prog_state = None
     restart_interval = 0
     i = 2
     n = len(b)
@@ -181,7 +186,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     counts, symbols
                 )
                 j += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if precision != 8:
                 raise ValueError(f"only 8-bit JPEG supported (got {precision})")
@@ -195,11 +200,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG supported (progressive/"
+                "unsupported JPEG mode (lossless/hierarchical/"
                 f"arithmetic SOF 0x{marker:02x} needs a codec library)"
             )
         elif marker == 0xDD:  # DRI
@@ -212,6 +220,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_map[cs] = (tables >> 4, tables & 0x0F)
+            if frame["progressive"]:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                prog_state = _decode_prog_scan(
+                    b, i + 2 + seglen, frame, scan_map, huff_dc, huff_ac,
+                    restart_interval, ss, se, ahal >> 4, ahal & 0x0F,
+                    prog_state,
+                )
+                i = prog_state["end"]
+                continue
             # malformed streams must fail with ValueError, not KeyError,
             # so callers' "corrupt payload" handling stays one except away
             for comp in frame["comps"]:
@@ -234,7 +252,231 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 restart_interval,
             )
         i += 2 + seglen
+    if prog_state is not None:
+        return _finish_progressive(prog_state, frame, qt)
     raise ValueError("JPEG contains no scan data")
+
+
+class _SegReader:
+    """MSB-first bit reader over one unescaped entropy segment, built on
+    the same u32 peek window as the baseline hot loop."""
+
+    __slots__ = ("u32", "nbits", "p")
+
+    def __init__(self, seg: np.ndarray):
+        self.u32, self.nbits = _bit_window(seg)
+        self.p = 0
+
+    def _peek16(self) -> int:
+        p = self.p
+        return (int(self.u32[p >> 3]) << (p & 7) & 0xFFFFFFFF) >> 16
+
+    def huff(self, tab: _HuffTable) -> int:
+        v16 = self._peek16()
+        ln = int(tab.lut_len[v16])
+        if ln == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.p += ln
+        return int(tab.lut_sym[v16])
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self._peek16() >> (16 - n)
+        self.p += n
+        return v
+
+    def bit(self) -> int:
+        v = self._peek16() >> 15
+        self.p += 1
+        return v
+
+
+def _decode_prog_scan(b, pos, frame, scan_map, huff_dc, huff_ac,
+                      restart_interval, ss, se, ah, al, state):
+    """One progressive (SOF2) scan per ITU-T T.81 Annex G.2: accumulates
+    coefficient bits into the per-component block grids in ``state``.
+    DC scans (Ss=Se=0) are diff-coded at Ah=0 and single-refinement-bit
+    at Ah>0; AC scans (one component each) use EOB-run codes at Ah=0 and
+    the correction-bit refinement procedure at Ah>0 (structure follows
+    the public T.81 G.2.2 algorithm as implemented by libjpeg's
+    decode_mcu_AC_refine).  Returns the updated state; entropy data ends
+    at ``state['end']``."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    if state is None:
+        state = {
+            "grids": [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                for c in comps
+            ],
+        }
+    idx_of = {c["id"]: i for i, c in enumerate(comps)}
+    scs = []
+    for cid, (dc_t, ac_t) in scan_map.items():
+        if cid not in idx_of:
+            raise ValueError(f"JPEG SOS missing component id {cid}")
+        scs.append((idx_of[cid], dc_t, ac_t))
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:
+            for _, dc_t, _ in scs:
+                if dc_t not in huff_dc:
+                    raise ValueError(
+                        f"JPEG references undefined Huffman table (dc={dc_t})"
+                    )
+    else:
+        if len(scs) != 1:
+            raise ValueError("progressive AC scan must cover one component")
+        if se > 63 or ss > se:
+            raise ValueError("bad progressive spectral band")
+        if scs[0][2] not in huff_ac:
+            raise ValueError(
+                f"JPEG references undefined Huffman table (ac={scs[0][2]})"
+            )
+    segs, end = _entropy_segments(b, pos)
+    state["end"] = end
+    grids = state["grids"]
+    zz = ZIGZAG
+    p1, m1 = 1 << al, -1 << al
+
+    # unit sequence: interleaved MCUs, or this component's own block
+    # raster when the scan is non-interleaved (ns == 1)
+    if len(scs) > 1 or (ss == 0 and len(scs) == len(comps) > 1):
+        n_units = mcux * mcuy
+        interleaved = True
+    else:
+        ci = scs[0][0]
+        c = comps[ci]
+        nbw = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+        nbh = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+        n_units, interleaved = nbw * nbh, False
+    ri = restart_interval or n_units
+    n_segs = -(-n_units // ri)
+    if len(segs) < n_segs:
+        raise ValueError("JPEG restart marker expected but not found")
+
+    def _refine_band(rd, row, k):
+        # correction bits for already-nonzero coefficients in [k..se]
+        while k <= se:
+            v = int(row[zz[k]])
+            if v != 0 and rd.bit():
+                if (v & p1) == 0:
+                    row[zz[k]] = v + (p1 if v >= 0 else m1)
+            k += 1
+
+    try:
+        for si in range(n_segs):
+            rd = _SegReader(segs[si])
+            pred = {i: 0 for i, _, _ in scs}
+            eobrun = 0
+            for u in range(si * ri, min((si + 1) * ri, n_units)):
+                if interleaved:
+                    my, mx = u // mcux, u % mcux
+                    blocks = [
+                        (i, dc_t, ac_t,
+                         grids[i][my * comps[i]["v"] + by,
+                                  mx * comps[i]["h"] + bx])
+                        for i, dc_t, ac_t in scs
+                        for by in range(comps[i]["v"])
+                        for bx in range(comps[i]["h"])
+                    ]
+                else:
+                    i, dc_t, ac_t = scs[0]
+                    blocks = [(i, dc_t, ac_t, grids[i][u // nbw, u % nbw])]
+                for i, dc_t, ac_t, row in blocks:
+                    if ss == 0:  # DC scan
+                        if ah == 0:
+                            s = rd.huff(huff_dc[dc_t])
+                            diff = _extend(rd.bits(s), s) if s else 0
+                            pred[i] += diff
+                            row[0] = pred[i] << al
+                        elif rd.bit():
+                            row[0] = int(row[0]) | p1
+                        continue
+                    act = huff_ac[ac_t]
+                    if ah == 0:  # AC first scan (T.81 G.2.1)
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = rd.huff(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) + rd.bits(r) - 1
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC index overrun")
+                            row[zz[k]] = _extend(rd.bits(s), s) << al
+                            k += 1
+                    else:  # AC refinement scan (T.81 G.2.2)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = rd.huff(act)
+                                r, s = rs >> 4, rs & 0x0F
+                                newval = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = (1 << r) + rd.bits(r)
+                                        break
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "bad JPEG refinement magnitude"
+                                        )
+                                    newval = p1 if rd.bit() else m1
+                                while k <= se:
+                                    v = int(row[zz[k]])
+                                    if v != 0:
+                                        if rd.bit() and (v & p1) == 0:
+                                            row[zz[k]] = v + (
+                                                p1 if v >= 0 else m1
+                                            )
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if newval and k <= se:
+                                    row[zz[k]] = newval
+                                k += 1
+                        if eobrun > 0:
+                            _refine_band(rd, row, k)
+                            eobrun -= 1
+            if rd.p > rd.nbits:
+                raise ValueError("JPEG entropy stream truncated")
+    except IndexError:
+        raise ValueError("JPEG entropy stream truncated") from None
+    return state
+
+
+def _finish_progressive(state, frame, qt) -> np.ndarray:
+    """All progressive scans consumed → dequantize + batched IDCT per
+    component and assemble, sharing the baseline finishing path."""
+    planes = []
+    for c, grid in zip(frame["comps"], state["grids"]):
+        if c["tq"] not in qt:
+            raise ValueError(
+                f"JPEG references undefined quant table {c['tq']}"
+            )
+        rg, cg, _ = grid.shape
+        blocks = grid.reshape(-1, 8, 8).astype(np.float64) * qt[c["tq"]]
+        idct = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A)
+        planes.append(
+            idct.reshape(rg, cg, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(rg * 8, cg * 8)
+        )
+    return _finish_planes(planes, frame)
 
 
 # Annex K.1/K.2 quantization tables (raster order)
@@ -320,18 +562,25 @@ def _category(v: int) -> int:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(H, W) gray or (H, W, 3) RGB uint8 → baseline JFIF JPEG bytes
-    (4:4:4, Annex-K quantization scaled by ``quality``, fixed canonical
-    Huffman tables).  Decodable by this module and by any conforming
-    decoder; lossy by quantization like any JPEG.
+    """(H, W) gray or (H, W, 3) RGB uint8 → JFIF JPEG bytes (4:4:4,
+    Annex-K quantization scaled by ``quality``, fixed canonical Huffman
+    tables).  Decodable by this module and by any conforming decoder;
+    lossy by quantization like any JPEG.
 
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
     N MCUs: each restart segment is then independently decodable (DC
     predictors reset), which is what lets a decoder — this module's
     segment-split decoder included — process a large image's entropy
-    segments in isolation (the classic parallel-JPEG mechanism)."""
+    segments in isolation (the classic parallel-JPEG mechanism).
+
+    ``progressive`` emits SOF2 with a spectral-selection scan script
+    (one interleaved DC scan, then each component's AC band 1-63) —
+    the coefficient values are identical to the baseline stream, only
+    their transmission order changes, so decoded pixels match the
+    baseline encode exactly."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         planes = [px.astype(np.float64) - 128.0]
@@ -354,64 +603,111 @@ def encode_jpeg(
         raise ValueError("empty image")
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError(f"bad restart interval {restart_interval}")
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart markers are not supported in progressive encode"
+        )
     dc_tab = _enc_table(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
     ac_tab = _enc_table(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
-    bw = _BitWriter()
-    pred = [0] * len(planes)
     by = -(-h // 8)
     bx = -(-w // 8)
-    mcu_count = 0
+    ncomp = len(planes)
     # pad planes to block multiples by edge replication
     padded = []
     for p in planes:
         pp = np.pad(p, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
         padded.append(pp)
     inv_zz = ZIGZAG  # zigzag[k] = raster index of k-th coeff
-    for myy in range(by):
-        for mxx in range(bx):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes(
-                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
-                )
-                pred = [0] * len(planes)
-            mcu_count += 1
-            for ci, p in enumerate(padded):
-                block = p[myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8]
-                f = _A @ block @ _A.T
-                q = qts[comp_qt[ci]]
-                coef = np.rint(f / q).astype(np.int64)
-                zz = coef.ravel()[inv_zz]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                s = _category(diff)
-                code, ln = dc_tab[s]
+
+    def _zz_block(ci: int, myy: int, mxx: int) -> np.ndarray:
+        p = padded[ci]
+        block = p[myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8]
+        f = _A @ block @ _A.T
+        return np.rint(f / qts[comp_qt[ci]]).astype(np.int64).ravel()[inv_zz]
+
+    def _write_dc(bw: _BitWriter, zz: np.ndarray, pred: list, ci: int):
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s = _category(diff)
+        code, ln = dc_tab[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def _write_ac(bw: _BitWriter, zz: np.ndarray):
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            if k > last_nz:
+                break
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]  # ZRL
                 bw.write(code, ln)
-                if s:
-                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    if k > last_nz:
-                        break
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tab[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = ac_tab[(run << 4) | s]
-                    bw.write(code, ln)
-                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_tab[0x00]  # EOB
-                    bw.write(code, ln)
-    bw.flush()
+                run -= 16
+            s = _category(v)
+            code, ln = ac_tab[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_tab[0x00]  # EOB (progressive: EOB run of 1)
+            bw.write(code, ln)
+
+    # each scan = (SOS payload, entropy bytes)
+    scans: list[tuple[bytes, bytes]] = []
+    if not progressive:
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        mcu_count = 0
+        for myy in range(by):
+            for mxx in range(bx):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes(
+                        [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                    )
+                    pred = [0] * ncomp
+                mcu_count += 1
+                for ci in range(ncomp):
+                    zz = _zz_block(ci, myy, mxx)
+                    _write_dc(bw, zz, pred, ci)
+                    _write_ac(bw, zz)
+        bw.flush()
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00])
+        scans.append((sos + b"\x00\x3f\x00", bytes(bw.out)))
+    else:
+        # spectral-selection scan script (T.81 Annex G): one interleaved
+        # DC scan, then each component's full AC band — same coefficient
+        # values as baseline, progressive transmission order
+        coefs = [
+            [_zz_block(ci, myy, mxx) for myy in range(by) for mxx in range(bx)]
+            for ci in range(ncomp)
+        ]
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        for u in range(by * bx):
+            for ci in range(ncomp):
+                _write_dc(bw, coefs[ci][u], pred, ci)
+        bw.flush()
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00])
+        scans.append((sos + b"\x00\x00\x00", bytes(bw.out)))
+        for ci in range(ncomp):
+            bw = _BitWriter()
+            for u in range(by * bx):
+                _write_ac(bw, coefs[ci][u])
+            bw.flush()
+            scans.append(
+                (bytes([1, ci + 1, 0x00, 1, 63, 0]), bytes(bw.out))
+            )
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -421,11 +717,10 @@ def encode_jpeg(
     for ti, q in enumerate(qts):
         zzq = q.ravel()[inv_zz].astype(np.uint8)
         out += seg(0xDB, bytes([ti]) + zzq.tobytes())
-    ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, comp_qt[ci]])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     # one DC and one AC table, shared by every component (scan ids 0/0)
     for tc_th, counts, symbols in [
         (0x00, _ENC_DC_COUNTS, _ENC_DC_SYMBOLS),
@@ -434,12 +729,9 @@ def encode_jpeg(
         out += seg(0xC4, bytes([tc_th]) + counts + symbols)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += bw.out
+    for sos, entropy in scans:
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -484,7 +776,7 @@ def _decode_scan(b, pos, frame, scan_map, qt, huff_dc, huff_ac,
     # unescaped, so the hot loop is LUT lookups over a u32 peek window:
     # no per-bit work, no byte-unstuffing branches.
     coefs = np.zeros((n_mcus * bpm, 64))
-    segs = _entropy_segments(b, pos)
+    segs, _ = _entropy_segments(b, pos)
     ri = restart_interval or n_mcus
     n_segs = -(-n_mcus // ri)
     if len(segs) < n_segs:
@@ -555,7 +847,16 @@ def _decode_scan(b, pos, frame, scan_map, qt, huff_dc, huff_ac,
             .transpose(0, 2, 4, 1, 3, 5)
             .reshape(mcuy * v * 8, mcux * hh * 8)
         )
-    # crop + upsample each plane to (h, w)
+    return _finish_planes(planes, frame)
+
+
+def _finish_planes(planes: list[np.ndarray], frame: dict) -> np.ndarray:
+    """IDCT'd component planes (padded to MCU multiples) → final uint8
+    image: crop, chroma upsample, YCbCr→RGB, level shift + clamp."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
     for c, p in zip(comps, planes):
         ch = -(-h * c["v"] // vmax)

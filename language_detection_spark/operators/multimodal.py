@@ -8,9 +8,8 @@ baseline JPEG (Huffman + dequant + IDCT in functions/jpeg.py) —
 ``decode_media`` sniffs the payload magic and decodes those without any
 codec library (PNG/GIF decoders cross-validated pixel-exact and the JPEG
 decoder within ±1-2 counts against Java ImageIO in tests/test_codecs.py).
-The REMAINING formats (MP4/video, progressive JPEG) genuinely need
-ffmpeg/libjpeg, which are NOT in this environment, so for those
-``decode_media`` raises
+The REMAINING format (MP4/video) genuinely needs ffmpeg, which is NOT
+in this environment, so for it ``decode_media`` raises
 ``NotImplementedError`` unless ``fake=True``, in which case a clearly-marked
 deterministic fake decoder (seeded from the payload bytes) produces stable
 pseudo-content.  Everything around that one stub — column schemas,
@@ -116,7 +115,11 @@ def synth_real_media_df(
             elif mod == 2:
                 payload = _c.encode_png(px, filter_type=(i // 5) % 5)
             else:
-                payload = _enc_jpeg(px, quality=90)
+                # alternate baseline and progressive streams so the
+                # distributed decode path exercises both JPEG modes
+                payload = _enc_jpeg(
+                    px, quality=90, progressive=(i // 5) % 2 == 1
+                )
             rows.append((i, "image", bytearray(payload), w, h, None, 1))
         elif mod == 1:
             rate = 16000
@@ -152,8 +155,9 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     stats stay deterministic).  MP4/video needs ffmpeg — not in this
     container — so unrecognized payloads raise unless ``fake=True``,
     which selects the DETERMINISTIC FAKE decoder (pseudo-samples seeded
-    from the payload digest; stable across runs/machines).  Malformed or
-    progressive JPEG raises ValueError from the decoder itself."""
+    from the payload digest; stable across runs/machines).  JPEG decode
+    covers baseline AND progressive (SOF2) streams; malformed payloads
+    raise ValueError from the decoder itself."""
     fmt = codecs.sniff_format(payload)
     if fmt == "bmp":
         return codecs.decode_bmp(payload).ravel()

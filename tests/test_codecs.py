@@ -407,19 +407,52 @@ def test_jpeg_decodes_real_files():
         assert sniff_format(open(p, "rb").read()) == "jpeg"
 
 
-def test_jpeg_rejects_progressive_and_garbage():
-    import os
-
-    from language_detection_spark.functions.jpeg import decode_jpeg
+def test_jpeg_rejects_garbage_and_unsupported_modes():
+    from language_detection_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0 truncated")
-    prog = f"{_SPARK_IMAGES}/grayscale.jpg"  # SOF2 progressive
-    if os.path.exists(prog):
-        with pytest.raises(ValueError, match="baseline"):
-            decode_jpeg(open(prog, "rb").read())
+    # lossless/arithmetic SOF markers still reject with a clear error
+    good = encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    sof = good.find(b"\xff\xc0")
+    for bad_sof in (0xC3, 0xC9):
+        bad = bytearray(good)
+        bad[sof + 1] = bad_sof
+        with pytest.raises(ValueError, match="unsupported JPEG mode"):
+            decode_jpeg(bytes(bad))
+
+
+def test_jpeg_progressive_round_trip_and_fixture():
+    """SOF2 support: our spectral-selection progressive encode decodes to
+    EXACTLY the baseline pixels (same coefficients, different transmission
+    order), and the real progressive fixture (libjpeg successive-
+    approximation scan script) decodes with sane geometry."""
+    import os
+
+    from language_detection_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    px = np.stack(
+        [((yy * 3 + xx) % 256), ((xx * 5) % 256), ((yy * 7) % 256)], axis=2
+    ).astype(np.uint8)
+    plain = encode_jpeg(px, quality=90)
+    prog = encode_jpeg(px, quality=90, progressive=True)
+    assert prog[prog.find(b"\xff\xc2") : prog.find(b"\xff\xc2") + 2] == b"\xff\xc2"
+    assert prog.count(b"\xff\xda") == 4  # DC scan + 3 per-comp AC scans
+    assert (decode_jpeg(prog) == decode_jpeg(plain)).all()
+    g = ((yy * 4 + xx) % 256).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(g, progressive=True))
+        == decode_jpeg(encode_jpeg(g))
+    ).all()
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(px, progressive=True, restart_interval=2)
+    fixture = f"{_SPARK_IMAGES}/grayscale.jpg"  # SOF2, SA + spectral sel.
+    if os.path.exists(fixture):
+        arr = decode_jpeg(open(fixture, "rb").read())
+        assert arr.ndim == 2 and arr.dtype == np.uint8 and arr.size > 10000
 
 
 def test_jpeg_restart_interval_round_trip():
@@ -554,6 +587,50 @@ def test_jpeg_matches_java_imageio(spark):
         )
         assert float(diff.mean()) < 1.0, p
         assert float((diff > 2).mean()) < 0.01, p
+
+
+def test_jpeg_progressive_matches_java_imageio(spark):
+    """Progressive conformance, both directions: (a) Java ImageIO decodes
+    the real SOF2 fixture (successive approximation + spectral selection,
+    libjpeg scan script) and we must match it within IDCT tolerance;
+    (b) ImageIO decodes OUR progressive streams back to the original
+    within quantization error."""
+    import os
+    import tempfile
+
+    from language_detection_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    fixture = f"{_SPARK_IMAGES}/grayscale.jpg"
+    if os.path.exists(fixture):
+        row = (
+            spark.read.format("image").load(fixture)
+            .select("image.*").collect()[0]
+        )
+        jav = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+            row.height, row.width, row.nChannels
+        )
+        mine = decode_jpeg(open(fixture, "rb").read())
+        assert mine.shape == (row.height, row.width)
+        # ImageIO loads grayscale as a single channel
+        diff = np.abs(mine.astype(np.int32) - jav[:, :, 0].astype(np.int32))
+        assert float(diff.mean()) < 1.0
+        assert float((diff > 2).mean()) < 0.01
+    yy, xx = np.mgrid[0:40, 0:56]
+    px = np.stack(
+        [((yy * 3 + xx * 2) % 256), ((yy * 5) % 256), ((xx * 7) % 256)],
+        axis=2,
+    ).astype(np.uint8)
+    tmp = tempfile.mkdtemp()
+    p = os.path.join(tmp, "ours_prog.jpg")
+    with open(p, "wb") as f:
+        f.write(encode_jpeg(px, quality=95, progressive=True))
+    row = spark.read.format("image").load(p).select("image.*").collect()[0]
+    assert (row.height, row.width) == px.shape[:2]
+    jav = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )
+    d = np.abs(jav[:, :, :3].astype(int) - px[:, :, ::-1].astype(int))
+    assert d.max() <= 8 and d.mean() < 1.0
 
 
 def test_jpeg_through_decode_media_and_features(spark):
