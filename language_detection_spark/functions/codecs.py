@@ -33,8 +33,8 @@ import numpy as np
 
 def sniff_format(payload: bytes) -> str | None:
     """Identify a natively-decodable container by magic bytes: 'bmp',
-    'ppm', 'pgm', 'wav', 'png', 'gif', or None (unknown / unsupported /
-    too short)."""
+    'ppm', 'pgm', 'wav', 'png', 'gif', 'jpeg', 'avi', or None (unknown /
+    unsupported / too short)."""
     b = bytes(payload[:16])
     if b[:2] == b"BM" and len(payload) >= 54:
         return "bmp"
@@ -44,6 +44,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "pgm"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if b[:6] in (b"GIF87a", b"GIF89a"):
@@ -735,6 +737,115 @@ def _probe_mp4(b: bytes) -> dict | None:
     return out
 
 
+# --------------------------------------------------------------------------
+# AVI (RIFF) Motion-JPEG — a REAL video container whose frames are
+# baseline/progressive JPEG streams, i.e. fully decodable by
+# functions/jpeg.py with no external codec.  H.264-in-MP4 remains the
+# ffmpeg-territory stub; MJPEG-AVI makes the video path (frame
+# extraction → per-frame decode → sampling) genuinely end-to-end.
+# --------------------------------------------------------------------------
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: int = 25) -> bytes:
+    """JPEG frame streams → minimal spec-conformant MJPEG AVI (RIFF with
+    hdrl/avih + vids strl using the MJPG handler, and a movi list of
+    00dc chunks; no idx1 — players treat it as an unindexed stream)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    for f in frames:
+        if bytes(f[:2]) != b"\xff\xd8":
+            raise ValueError("AVI MJPEG frames must be JPEG streams")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    usec = 1_000_000 // fps
+    maxbuf = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I", usec, maxbuf * fps, 0, 0x10, len(frames), 0, 1, maxbuf,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHH8I", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      maxbuf, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", bytes(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frames(payload: bytes) -> list[bytes]:
+    """MJPEG AVI → list of the contained JPEG frame streams (undecoded
+    bytes; feed each to functions/jpeg.py decode_jpeg).  Walks the RIFF
+    chunk tree to the movi list and collects 00dc/00db video chunks."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        while i + 8 <= hi:
+            fourcc = b[i : i + 4]
+            (size,) = struct.unpack_from("<I", b, i + 4)
+            body_lo = i + 8
+            body_hi = body_lo + size
+            if body_hi > hi:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(body_lo + 4, body_hi)
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frames.append(b[body_lo:body_hi])
+            i = body_hi + (size & 1)  # chunks are word-aligned
+
+    walk(12, 8 + struct.unpack_from("<I", b, 4)[0])
+    if not frames:
+        raise ValueError("AVI contains no video chunks")
+    return frames
+
+
+def _probe_avi(b: bytes) -> dict:
+    # avih is the first chunk of the hdrl list: fixed offsets after the
+    # RIFF header when written by this module; fall back to a chunk walk
+    out: dict = {"format": "avi"}
+    i = 12
+    end = min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
+    while i + 8 <= end:
+        fourcc = b[i : i + 4]
+        (size,) = struct.unpack_from("<I", b, i + 4)
+        if fourcc == b"LIST":
+            if b[i + 8 : i + 12] == b"hdrl":
+                i += 12
+                continue
+        elif fourcc == b"avih" and size >= 40:
+            usec, _, _, _, nframes = struct.unpack_from("<5I", b, i + 8)
+            w, h = struct.unpack_from("<II", b, i + 40)
+            out.update(width=w, height=h, n_frames=nframes)
+            if usec:
+                out["duration_ms"] = int(nframes * usec // 1000)
+            return out
+        i += 8 + size + (size & 1)
+    return out
+
+
 def probe_media(payload: bytes) -> dict | None:
     """Container metadata WITHOUT decoding: ``format`` plus width/height
     (images), sample_rate/duration_ms (audio), duration_ms (video).
@@ -767,6 +878,8 @@ def probe_media(payload: bytes) -> dict | None:
             "sample_rate": rate,
             "duration_ms": int(len(samples) * 1000 // rate) if rate else None,
         }
+    if fmt == "avi":
+        return _probe_avi(b)
     if b[:2] == b"\xff\xd8":
         return _probe_jpeg(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":

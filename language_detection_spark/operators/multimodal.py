@@ -8,8 +8,10 @@ baseline JPEG (Huffman + dequant + IDCT in functions/jpeg.py) —
 ``decode_media`` sniffs the payload magic and decodes those without any
 codec library (PNG/GIF decoders cross-validated pixel-exact and the JPEG
 decoder within ±1-2 counts against Java ImageIO in tests/test_codecs.py).
-The REMAINING format (MP4/video) genuinely needs ffmpeg, which is NOT
-in this environment, so for it ``decode_media`` raises
+Video: MJPEG AVI is REAL end-to-end (RIFF container walk + per-frame
+JPEG decode + frame sampling, functions/codecs.py).  The REMAINING
+format (MP4/H.264) genuinely needs ffmpeg, which is NOT in this
+environment, so for it ``decode_media`` raises
 ``NotImplementedError`` unless ``fake=True``, in which case a clearly-marked
 deterministic fake decoder (seeded from the payload bytes) produces stable
 pseudo-content.  Everything around that one stub — column schemas,
@@ -144,6 +146,80 @@ def synth_real_media_df(
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_video_df(spark: SparkSession, n: int = 40, seed: int = 42) -> DataFrame:
+    """Deterministic VIDEO table of genuine MJPEG-AVI payloads: each row
+    is a RIFF/AVI container whose frames are encoder-produced JPEG
+    streams (moving gradient + seeded noise, alternating baseline and
+    progressive per frame), so frame extraction + per-frame decode run
+    the real codec path end-to-end — no fake decoder, no ffmpeg."""
+    from ..functions.codecs import encode_avi_mjpeg
+    from ..functions.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        rng = np.random.Generator(np.random.Philox(key=seed * 999_983 + i))
+        h, w = 16 + (i % 4) * 8, 24 + (i % 3) * 8
+        nf = 4 + i % 9
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = []
+        for t in range(nf):
+            base = (yy * 2 + xx * 3 + t * 17) % 256
+            px = np.clip(
+                base[..., None] + rng.integers(-10, 11, size=(h, w, 3)),
+                0, 255,
+            ).astype(np.uint8)
+            frames.append(
+                encode_jpeg(px, quality=90, progressive=t % 2 == 1)
+            )
+        payload = encode_avi_mjpeg(frames, w, h, fps=10)
+        rows.append((i, "video", bytearray(payload), w, h, None, nf))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("frame_means", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_frame_features(df: DataFrame, every_n: int = 2,
+                           max_frames: int | None = None) -> DataFrame:
+    """Video frame-sampling feature stage: per row, pull every
+    ``every_n``-th frame out of the container (`sample_frames` — real
+    for MJPEG AVI), decode each sampled frame with the native JPEG
+    codec, and emit per-frame means — the mapInPandas shape a video
+    curation pipeline uses (decode only the sampled frames, never the
+    whole clip)."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import decode_jpeg
+
+        for batch in batches:
+            out = {k.name: [] for k in FRAME_FEATURE_SCHEMA.fields}
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                frames = sample_frames(bytes(payload), every_n, max_frames)
+                means = [
+                    round(float(decode_jpeg(f).mean()), 4) for f in frames
+                ]
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(
+                    len(codecs.decode_avi_frames(bytes(payload)))
+                )
+                out["n_sampled"].append(len(frames))
+                out["mean_pixel"].append(
+                    round(float(np.mean(means)), 4) if means else None
+                )
+                out["frame_means"].append(means)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_go, FRAME_FEATURE_SCHEMA)
+
+
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode encoded media bytes → flat uint8 sample array.
 
@@ -152,7 +228,8 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     per-row unfilter), GIF (LZW) and baseline JPEG decode to their pixel
     bytes; PCM16 WAV decodes to samples mapped onto uint8 via
     ``(s + 32768) >> 8`` (a fixed affine quantization, so downstream byte
-    stats stay deterministic).  MP4/video needs ffmpeg — not in this
+    stats stay deterministic); MJPEG AVI decodes to the concatenated
+    pixels of its JPEG frames.  MP4/H.264 needs ffmpeg — not in this
     container — so unrecognized payloads raise unless ``fake=True``,
     which selects the DETERMINISTIC FAKE decoder (pseudo-samples seeded
     from the payload digest; stable across runs/machines).  JPEG decode
@@ -171,6 +248,12 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         from ..functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload).ravel()
+    if fmt == "avi":  # MJPEG: every frame is a natively-decodable JPEG
+        from ..functions.jpeg import decode_jpeg
+
+        return np.concatenate(
+            [decode_jpeg(f).ravel() for f in codecs.decode_avi_frames(payload)]
+        )
     if fmt == "wav":
         samples, _rate = codecs.decode_wav(payload)
         return (
@@ -178,9 +261,9 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         )
     if not fake:
         raise NotImplementedError(
-            "MP4/video codecs are unavailable in this environment "
-            "(BMP/PPM/PGM/WAV/PNG/GIF/baseline-JPEG decode natively); pass "
-            "fake=True for the deterministic test decoder"
+            "MP4/H.264 codecs are unavailable in this environment "
+            "(BMP/PPM/PGM/WAV/PNG/GIF/JPEG/MJPEG-AVI decode natively); "
+            "pass fake=True for the deterministic test decoder"
         )
     digest = hashlib.sha256(bytes(payload)).digest()
     seed = int.from_bytes(digest[:8], "big")
@@ -246,10 +329,23 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     )
 
 
-def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
-    """STUB — requires a video codec; see decode_media.  The real sampling
-    MATH is `sample_frame_indices` below (codec-independent)."""
-    raise NotImplementedError("frame sampling requires ffmpeg (not in container)")
+def sample_frames(payload: bytes, every_n: int,
+                  max_frames: int | None = None) -> list[bytes]:
+    """Video container → every ``every_n``-th frame's encoded bytes.
+
+    REAL for MJPEG AVI (RIFF walk in functions/codecs.py; each returned
+    frame is a JPEG stream functions/jpeg.py decodes natively) — the
+    full frame-sampling path is codec-library-free for that container.
+    H.264/H.265-in-MP4 genuinely needs ffmpeg and still raises.  The
+    sampling MATH is `sample_frame_indices` below (codec-independent)."""
+    if codecs.sniff_format(payload) == "avi":
+        frames = codecs.decode_avi_frames(payload)
+        idx = sample_frame_indices(len(frames), every_n, max_frames)
+        return [frames[i] for i in idx]
+    raise NotImplementedError(
+        "frame sampling is native for MJPEG AVI; MP4/H.264 requires "
+        "ffmpeg (not in container)"
+    )
 
 
 def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -779,3 +779,88 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the base image
     pass
+
+
+def test_avi_mjpeg_container_round_trip():
+    """MJPEG AVI: encode frames → container → exact frame bytes back;
+    probe reads geometry/frame count/duration from the avih header; the
+    sampled frames decode with the native JPEG codec."""
+    from language_detection_spark.functions.codecs import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        probe_media,
+        sniff_format,
+    )
+    from language_detection_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    frames = [
+        encode_jpeg(
+            np.full((16, 24, 3), 20 * t, np.uint8),
+            quality=90,
+            progressive=t % 2 == 1,
+        )
+        for t in range(5)
+    ]
+    avi = encode_avi_mjpeg(frames, 24, 16, fps=10)
+    assert sniff_format(avi) == "avi"
+    assert probe_media(avi) == {
+        "format": "avi", "width": 24, "height": 16, "n_frames": 5,
+        "duration_ms": 500,
+    }
+    back = decode_avi_frames(avi)
+    assert [bytes(f) for f in back] == frames
+    px = decode_jpeg(back[2])
+    assert px.shape == (16, 24, 3)
+    with pytest.raises(ValueError):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([b"not a jpeg"], 8, 8)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], 8, 8)
+
+
+def test_sample_frames_real_for_avi():
+    """sample_frames is REAL for MJPEG AVI (every_n schedule + cap) and
+    still raises for MP4 (ffmpeg territory); decode_media concatenates
+    all frames' pixels."""
+    from language_detection_spark.functions.codecs import encode_avi_mjpeg
+    from language_detection_spark.functions.jpeg import encode_jpeg
+    from language_detection_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+    )
+
+    frames = [
+        encode_jpeg(np.full((8, 8, 3), 10 * t, np.uint8)) for t in range(7)
+    ]
+    avi = encode_avi_mjpeg(frames, 8, 8, fps=5)
+    got = sample_frames(avi, 3)
+    assert [bytes(f) for f in got] == [frames[0], frames[3], frames[6]]
+    assert len(sample_frames(avi, 1, max_frames=2)) == 2
+    raw = decode_media(avi, "video", fake=False)
+    assert raw.size == 7 * 8 * 8 * 3
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        sample_frames(b"\x00\x00\x00\x18ftypisom rest-of-mp4-box-data", 2)
+
+
+def test_extract_frame_features_distributed(spark):
+    """synth_video_df → extract_frame_features: the distributed
+    frame-sampling decode path — every-2nd-frame schedule, per-frame
+    means from real JPEG decode inside mapInPandas."""
+    from language_detection_spark.operators.multimodal import (
+        extract_frame_features,
+        synth_video_df,
+    )
+
+    videos = synth_video_df(spark, n=8)
+    rows = {
+        r["media_id"]: r
+        for r in extract_frame_features(videos, every_n=2).collect()
+    }
+    assert len(rows) == 8
+    src = {r["media_id"]: r for r in videos.collect()}
+    for mid, r in rows.items():
+        assert r["n_frames"] == src[mid]["n_frames"]
+        assert r["n_sampled"] == -(-r["n_frames"] // 2)
+        assert len(r["frame_means"]) == r["n_sampled"]
+        assert abs(np.mean(r["frame_means"]) - r["mean_pixel"]) < 1e-3
