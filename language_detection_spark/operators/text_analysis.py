@@ -370,3 +370,62 @@ def quality_terciles(df, id_col: str = "doc_id", lang_col: str = "lang",
             lab.alias("tercile"),
         )
     )
+
+
+# --- URL canonicalization (crawl-pipeline URL-level dedup) -----------------
+# the FIRST dedup stage of a web-crawl pipeline: collapse the url-variant
+# explosion (scheme/host case, default ports, fragments, tracking params,
+# param order, www. prefix, trailing slash) BEFORE any content is fetched
+# or hashed.  Pure expressions (codegen, zero shuffle) and deliberately
+# reproducible in an independent SQL engine — the DuckDB oracle re-derives
+# every canonical string.
+
+_TRACKING_PARAM_PAT = r"^(utm_|gclid=|fbclid=|msclkid=|ref=|mc_eid=)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL:
+
+    * scheme and host lowercased; a leading ``www.`` dropped
+    * default ports stripped (``:80`` for http, ``:443`` for https)
+    * fragment dropped
+    * query: tracking params removed (utm_*/gclid/fbclid/msclkid/ref/
+      mc_eid), the rest SORTED and rejoined (param order never
+      distinguishes resources in practice); empty query drops the ``?``
+    * path: trailing ``/`` stripped (bare host normalizes to no path)
+
+    Non-http(s) inputs (no ``scheme://``) are returned trimmed-lowercase
+    as-is — canonicalization is only defined for web URLs."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""),
+        F.concat(F.lit(":"), F.when(scheme == "https", F.lit("443"))
+                 .otherwise(F.lit("80")), F.lit("$")),
+        "",
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_PAT),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", F.lower(u)).otherwise(rebuilt)
+
+
+def url_dup_groups(df, url_col: str = "url"):
+    """(canonical_url, n_variants, first_url): URL-level dup groups —
+    one partial-aggregating groupBy keyed by the canonical string (the
+    same 10^12-row shape as exact text dedup; no windows)."""
+    canon = df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.min(url_col).alias("first_url"),
+    )

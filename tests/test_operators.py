@@ -519,3 +519,43 @@ def test_passage_dedup_semantics(spark):
     assert got[3]["n_dropped"] == 1 and got[3]["text_dedup"] == ""
     assert got[4]["n_dropped"] == 0 and got[4]["text_dedup"] == "short tail"
     assert got[5]["n_dropped"] == 1 and got[5]["text_dedup"] == ""
+
+
+def test_canonical_url(spark):
+    """URL canonicalization: every documented normalization, plus the
+    non-web passthrough, and dup grouping by canonical string."""
+    from pyspark.sql import functions as F
+
+    from language_detection_spark.operators.text_analysis import (
+        canonical_url,
+        url_dup_groups,
+    )
+
+    cases = {
+        # scheme/host case + www + default port + tracking + sort + frag
+        "HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&b=2&a=1#frag":
+            "https://example.com/A/B?a=1&b=2",
+        "https://example.com/A/B?a=1&b=2": "https://example.com/A/B?a=1&b=2",
+        # http default port + trailing slash on bare host
+        "HTTP://Example.com:80/": "http://example.com",
+        # non-default port survives
+        "http://example.com:8080/x": "http://example.com:8080/x",
+        # all-tracking query drops the '?'
+        "http://a.io/p?gclid=1&fbclid=2": "http://a.io/p",
+        # non-web input: trimmed lowercase passthrough
+        "  Not A URL  ": "not a url",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    assert got == cases
+    groups = {
+        r["canonical_url"]: (r["n_variants"], r["first_url"])
+        for r in url_dup_groups(
+            spark.createDataFrame([(k,) for k in cases], "url string")
+        ).collect()
+    }
+    assert groups["https://example.com/A/B?a=1&b=2"][0] == 2
+    assert groups["http://example.com"] == (1, "HTTP://Example.com:80/")
