@@ -85,10 +85,8 @@ def main() -> int:
     videos = synth_video_df(spark, n=min(n, 400)).persist()
     n_videos = videos.count()
     t0 = time.time()
-    sampled = (
-        extract_frame_features(videos, every_n=2)
-        .agg(F.sum("n_sampled")).first()[0]
-    )
+    # exploded output: one row per sampled+decoded frame
+    sampled = extract_frame_features(videos, every_n=2).count()
     wall = time.time() - t0
     legs["video_frame_sampling"] = {
         "rows": n_videos,

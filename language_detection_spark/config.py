@@ -24,10 +24,29 @@ MINIMUM_FREQ = 2
 LESS_FREQ_RATIO = 100000
 
 # Default location of reference-format JSON language profiles.  The loader
-# accepts any directory of shuyo-format profile JSON files; in this sandbox
-# the reference's bundled 53 profiles are used when present.
-DEFAULT_PROFILE_DIR = os.environ.get(
-    "LANGDETECT_PROFILE_DIR", "/root/reference/profiles"
+# accepts any directory of shuyo-format profile JSON files; the engine
+# BUNDLES the reference's 53 standard + 47 short-message profiles
+# (Apache-2.0, same license as the already-bundled langid model) under
+# language_detection_spark/data/profiles[.sm]/, so the shipped artifact
+# runs with no external checkout.  $LANGDETECT_PROFILE_DIR overrides.
+
+
+def bundled_profile_dir(short_messages: bool = False) -> str | None:
+    """Filesystem path of the packaged profile directory, or ``None``
+    when the package is imported from a zip (``--py-files pipeline.zip``)
+    — callers fall back to importlib.resources traversal then."""
+    from importlib import resources
+
+    name = "profiles.sm" if short_messages else "profiles"
+    t = resources.files("language_detection_spark.data").joinpath(name)
+    p = str(t)
+    return p if os.path.isdir(p) else None
+
+
+DEFAULT_PROFILE_DIR = (
+    os.environ.get("LANGDETECT_PROFILE_DIR")
+    or bundled_profile_dir()
+    or "bundled:profiles"
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -178,6 +178,22 @@ class DetectorModel:
 _MODEL_CACHE: dict[str, DetectorModel] = {}
 
 
+def _load_bundled(name: str) -> DetectorModel:
+    """Load the packaged profile set via importlib.resources — works when
+    the package is imported from ``pipeline.zip`` (no real directory)."""
+    from importlib import resources
+
+    root = resources.files("language_detection_spark.data").joinpath(name)
+    texts = [
+        t.read_text(encoding="utf-8")
+        for t in sorted(root.iterdir(), key=lambda t: t.name)
+        if t.is_file() and not t.name.startswith(".")
+    ]
+    return DetectorModel.from_profiles(
+        [LangProfile.from_json(s) for s in texts]
+    )
+
+
 def load_default_model(profile_dir: str | None = None) -> DetectorModel:
     from ..config import DEFAULT_PROFILE_DIR
 
@@ -185,6 +201,8 @@ def load_default_model(profile_dir: str | None = None) -> DetectorModel:
     if d not in _MODEL_CACHE:
         if os.path.isdir(d):
             _MODEL_CACHE[d] = DetectorModel.load_directory(d)
+        elif d.startswith("bundled:"):
+            _MODEL_CACHE[d] = _load_bundled(d.split(":", 1)[1])
         else:
             raise FileNotFoundError(
                 f"profile dir {d!r} missing — set LANGDETECT_PROFILE_DIR or "

@@ -179,10 +179,10 @@ def synth_video_df(spark: SparkSession, n: int = 40, seed: int = 42) -> DataFram
 FRAME_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
         StructField("n_frames", IntegerType()),
         StructField("n_sampled", IntegerType()),
-        StructField("mean_pixel", DoubleType()),
-        StructField("frame_means", ArrayType(DoubleType())),
+        StructField("frame_mean", DoubleType()),
     ]
 )
 
@@ -190,11 +190,18 @@ FRAME_FEATURE_SCHEMA = StructType(
 def extract_frame_features(df: DataFrame, every_n: int = 2,
                            max_frames: int | None = None) -> DataFrame:
     """Video frame-sampling feature stage: per row, pull every
-    ``every_n``-th frame out of the container (`sample_frames` — real
-    for MJPEG AVI), decode each sampled frame with the native JPEG
-    codec, and emit per-frame means — the mapInPandas shape a video
+    ``every_n``-th frame out of the container (RIFF walk — real for
+    MJPEG AVI), decode each sampled frame with the native JPEG codec,
+    and emit ONE ROW PER SAMPLED FRAME ``(media_id, frame_idx,
+    n_frames, n_sampled, frame_mean)`` — the mapInPandas shape a video
     curation pipeline uses (decode only the sampled frames, never the
-    whole clip)."""
+    whole clip).  The exploded atomic-typed output is the useful table
+    shape downstream (filter/join per frame) and keeps every column
+    sortable/hashable for result comparison harnesses.
+
+    The container is walked ONCE per row: `decode_avi_frames` yields all
+    encoded frames, `sample_frame_indices` picks the schedule locally,
+    and only the selected frames are JPEG-decoded."""
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.jpeg import decode_jpeg
@@ -202,19 +209,23 @@ def extract_frame_features(df: DataFrame, every_n: int = 2,
         for batch in batches:
             out = {k.name: [] for k in FRAME_FEATURE_SCHEMA.fields}
             for mid, payload in zip(batch["media_id"], batch["payload"]):
-                frames = sample_frames(bytes(payload), every_n, max_frames)
-                means = [
-                    round(float(decode_jpeg(f).mean()), 4) for f in frames
-                ]
-                out["media_id"].append(int(mid))
-                out["n_frames"].append(
-                    len(codecs.decode_avi_frames(bytes(payload)))
-                )
-                out["n_sampled"].append(len(frames))
-                out["mean_pixel"].append(
-                    round(float(np.mean(means)), 4) if means else None
-                )
-                out["frame_means"].append(means)
+                raw = bytes(payload)
+                if codecs.sniff_format(raw) != "avi":
+                    raise NotImplementedError(
+                        "frame sampling is native for MJPEG AVI; "
+                        "MP4/H.264 requires ffmpeg (not in container)"
+                    )
+                frames = codecs.decode_avi_frames(raw)
+                idx = sample_frame_indices(len(frames), every_n, max_frames)
+                n_sampled = int(idx.size)
+                for i in idx:
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(int(i))
+                    out["n_frames"].append(len(frames))
+                    out["n_sampled"].append(n_sampled)
+                    out["frame_mean"].append(
+                        round(float(decode_jpeg(frames[i]).mean()), 4)
+                    )
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_go, FRAME_FEATURE_SCHEMA)

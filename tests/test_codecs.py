@@ -853,14 +853,21 @@ def test_extract_frame_features_distributed(spark):
     )
 
     videos = synth_video_df(spark, n=8)
-    rows = {
-        r["media_id"]: r
-        for r in extract_frame_features(videos, every_n=2).collect()
-    }
-    assert len(rows) == 8
+    rows = extract_frame_features(videos, every_n=2).collect()
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == 8
     src = {r["media_id"]: r for r in videos.collect()}
-    for mid, r in rows.items():
-        assert r["n_frames"] == src[mid]["n_frames"]
-        assert r["n_sampled"] == -(-r["n_frames"] // 2)
-        assert len(r["frame_means"]) == r["n_sampled"]
-        assert abs(np.mean(r["frame_means"]) - r["mean_pixel"]) < 1e-3
+    for mid, frames in by_media.items():
+        n_frames = src[mid]["n_frames"]
+        n_sampled = -(-n_frames // 2)
+        # one row per sampled frame, atomic columns only
+        assert len(frames) == n_sampled
+        assert sorted(f["frame_idx"] for f in frames) == list(
+            range(0, n_frames, 2)
+        )
+        for f in frames:
+            assert f["n_frames"] == n_frames
+            assert f["n_sampled"] == n_sampled
+            assert 0.0 <= f["frame_mean"] <= 255.0

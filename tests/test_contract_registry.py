@@ -90,3 +90,42 @@ def test_snapshot_pins_exist_for_all_snapshot_queries():
         if p.stem not in names
     )
     assert orphans == [], f"orphan snapshot pins: {orphans}"
+
+
+def _nonatomic_fields(schema):
+    """Names of top-level fields whose type a pandas-based result
+    canonicalizer cannot sort/factorize (array/map/struct)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
+def test_contract_queries_emit_atomic_columns_only(spark):
+    """The external driver canonicalizes results with pandas
+    sort/factorize, which crashes on list-typed cells (unhashable type)
+    — CORRECTNESS_r05 recorded exactly that for the old array<double>
+    frame_means column.  Structural guard: EVERY registered contract
+    query's declared output schema is atomic-typed.  Schemas come from
+    plan construction only (no job runs)."""
+    import __spark_entry__ as e
+
+    offenders = {}
+    for name, fn in e.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        bad = _nonatomic_fields(df.schema)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"non-atomic contract outputs: {offenders}"
+
+
+def test_atomic_lint_catches_array_output(spark):
+    """The lint itself must fire on an arrayed fixture query — guards
+    against the helper silently passing everything."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select("id", F.array(F.lit(1), F.lit(2)).alias("xs"))
+    assert _nonatomic_fields(df.schema) == ["xs"]
