@@ -816,7 +816,13 @@ def decode_avi_frames(payload: bytes) -> list[bytes]:
                 frames.append(b[body_lo:body_hi])
             i = body_hi + (size & 1)  # chunks are word-aligned
 
-    walk(12, 8 + struct.unpack_from("<I", b, 4)[0])
+    riff_hi = 8 + struct.unpack_from("<I", b, 4)[0]
+    if riff_hi > len(b):
+        # size fields are validated against the BUFFER, not just the
+        # claimed extent — a truncated file raises ValueError like every
+        # other structural lie, never struct.error from unpack_from
+        raise ValueError("truncated AVI payload: RIFF size exceeds buffer")
+    walk(12, riff_hi)
     if not frames:
         raise ValueError("AVI contains no video chunks")
     return frames

@@ -839,6 +839,11 @@ def build_sig_store(
     Rows are range-clustered by band_hash inside each partition so parquet
     row-group min/max stats can skip within files too."""
     rows_per_band = num_perm // bands
+    spark = df.sparkSession
+    if mode == "append" and read_sig_store_meta(spark, path) is not None:
+        # appends must keep the existing modulus/signature scheme — a
+        # second writer with different parameters would corrupt recall
+        check_sig_store_buckets(spark, path, store_buckets)
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     rows = banded_rows(sigs, bands, rows_per_band)
     if store_buckets is None:
@@ -856,6 +861,86 @@ def build_sig_store(
             .write.mode(mode)
             .partitionBy("band", "bh_bucket")
             .parquet(path)
+        )
+    write_sig_store_meta(
+        spark, path, store_buckets=store_buckets, num_perm=num_perm,
+        bands=bands, shingle_k=shingle_k,
+    )
+
+
+SIG_STORE_META = "_sig_store_meta.json"
+
+
+def _store_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(conf), hpath, jvm
+
+
+def write_sig_store_meta(spark, path: str, *, store_buckets: int | None,
+                         num_perm: int, bands: int, shingle_k: int) -> None:
+    """Persist the store's construction parameters next to its data
+    (underscore-prefixed, so Spark's partition discovery ignores it).
+    The bucket count is LOAD-BEARING: probing with a different modulus
+    than the store was written with silently prunes away matching rows,
+    so readers validate against this file rather than trusting callers."""
+    import json as _json
+
+    fs, _, jvm = _store_fs(spark, path)
+    meta = {
+        "store_buckets": store_buckets, "num_perm": num_perm,
+        "bands": bands, "shingle_k": shingle_k,
+    }
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path, SIG_STORE_META), True)
+    try:
+        out.write(bytearray(_json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_sig_store_meta(spark, path: str) -> dict | None:
+    """Read the store metadata written by `write_sig_store_meta`;
+    ``None`` when the store predates metadata (legacy layout)."""
+    import json as _json
+
+    fs, _, jvm = _store_fs(spark, path)
+    mpath = jvm.org.apache.hadoop.fs.Path(path, SIG_STORE_META)
+    if not fs.exists(mpath):
+        return None
+    stream = fs.open(mpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return _json.loads(text)
+
+
+def check_sig_store_buckets(spark, path: str,
+                            store_buckets: int | None) -> None:
+    """Raise unless ``store_buckets`` matches the count the store at
+    ``path`` was written with.  A mismatch is never recoverable at read
+    time — `bh_bucket_col(N)` with the wrong N routes probe hashes to
+    partitions the matching store rows are not in, admitting
+    near-duplicates with no error — so this fails loudly, like the
+    layout checks.  Legacy stores without metadata are let through with
+    a warning (the column-presence guards still apply)."""
+    meta = read_sig_store_meta(spark, path)
+    if meta is None:
+        warnings.warn(
+            f"signature store {path} has no {SIG_STORE_META}; cannot "
+            "validate store_buckets — rebuild or re-append with "
+            "build_sig_store to stamp it",
+            stacklevel=2,
+        )
+        return
+    want = meta.get("store_buckets")
+    if want != store_buckets:
+        raise RuntimeError(
+            f"signature store {path} was written with "
+            f"store_buckets={want!r} but this probe/stream passed "
+            f"store_buckets={store_buckets!r}; matching rows would be "
+            "silently pruned — pass the store's value"
         )
 
 
@@ -954,6 +1039,7 @@ def compact_sig_store(
         return n
 
     store = spark.read.parquet(path)
+    meta = read_sig_store_meta(spark, path)
     has_batch = "batch_id" in store.columns
     if min_batch_id is not None and not has_batch:
         raise ValueError("min_batch_id TTL needs a batch_id column")
@@ -996,6 +1082,14 @@ def compact_sig_store(
         fs.rename(old, hpath)  # roll back
         raise IOError(f"compaction swap failed: could not move {tmp} into place")
     fs.delete(old, True)
+    if meta is not None:
+        # carry the construction-parameter stamp through the swap —
+        # compaction never changes the bucket modulus
+        write_sig_store_meta(
+            spark, path, store_buckets=meta.get("store_buckets"),
+            num_perm=meta.get("num_perm", 16), bands=meta.get("bands", 4),
+            shingle_k=meta.get("shingle_k", 3),
+        )
     out = spark.read.parquet(path)
     return {
         "rows_before": rows_before,
@@ -1017,6 +1111,7 @@ def incremental_near_dups(
     max_bucket_size: int | None = 1000,
     store_buckets: int | None = None,
     probe_pushdown_max_hashes: int = 1024,
+    store_path: str | None = None,
 ) -> DataFrame:
     """New-vs-store near-dup pairs: (id_new, id_old, est_jaccard).
 
@@ -1041,7 +1136,21 @@ def incremental_near_dups(
     collect (≤ store_buckets values), the filter lands in the parquet
     scan's PartitionFilters, and every store read below (bucket sizes,
     candidate join, signature verification) sees only the pruned frame —
-    so probe cost tracks the batch's hash coverage, not the store size."""
+    so probe cost tracks the batch's hash coverage, not the store size.
+
+    Pass ``store_path`` (the directory the store was read from) to
+    validate ``store_buckets`` against the store's stamped metadata —
+    a wrong modulus silently prunes matching rows, so the check raises."""
+    if store_path is not None:
+        # validate the probe modulus against the store's stamped metadata
+        # — a wrong store_buckets prunes away MATCHING rows silently
+        check_sig_store_buckets(new_docs.sparkSession, store_path,
+                                store_buckets)
+    elif store_buckets is not None and "bh_bucket" not in store.columns:
+        raise RuntimeError(
+            "store_buckets given but the store frame has no bh_bucket "
+            "column — it was built unbucketed; pass store_buckets=None"
+        )
     rows_per_band = num_perm // bands
     new_sigs = persist_tracked(
         minhash_signatures(new_docs, text_col, id_col, num_perm, shingle_k)

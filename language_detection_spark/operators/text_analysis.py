@@ -380,22 +380,39 @@ def quality_terciles(df, id_col: str = "doc_id", lang_col: str = "lang",
 # reproducible in an independent SQL engine — the DuckDB oracle re-derives
 # every canonical string.
 
-_TRACKING_PARAM_PAT = r"^(utm_|gclid=|fbclid=|msclkid=|ref=|mc_eid=)"
+# Only UNAMBIGUOUS tracking keys are stripped by default: utm_* plus the
+# ad-click ids.  Deliberately NOT included: ``ref`` — on real crawl data
+# it routinely selects distinct resources (git refs, pagination anchors,
+# referenced sections), so stripping it would conflate different pages
+# into one dup group.  Callers with a site-specific tracking vocabulary
+# pass their own set.
+DEFAULT_TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "mc_eid")
+_TRACKING_PARAM_PAT = (
+    r"^(utm_|" + "|".join(k + "=" for k in DEFAULT_TRACKING_PARAMS) + r")"
+)
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(url: Column,
+                  tracking_params: tuple[str, ...] | None = None) -> Column:
     """Canonical form of an http(s) URL:
 
     * scheme and host lowercased; a leading ``www.`` dropped
     * default ports stripped (``:80`` for http, ``:443`` for https)
     * fragment dropped
-    * query: tracking params removed (utm_*/gclid/fbclid/msclkid/ref/
-      mc_eid), the rest SORTED and rejoined (param order never
-      distinguishes resources in practice); empty query drops the ``?``
+    * query: tracking params removed (default: ``utm_*`` + gclid/fbclid/
+      msclkid/mc_eid — only keys that NEVER select a distinct resource;
+      override per deployment via ``tracking_params``), the rest SORTED
+      and rejoined (param order never distinguishes resources in
+      practice); empty query drops the ``?``
     * path: trailing ``/`` stripped (bare host normalizes to no path)
 
     Non-http(s) inputs (no ``scheme://``) are returned trimmed-lowercase
     as-is — canonicalization is only defined for web URLs."""
+    pat = (
+        _TRACKING_PARAM_PAT
+        if tracking_params is None
+        else r"^(utm_|" + "|".join(k + "=" for k in tracking_params) + r")"
+    )
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
@@ -410,7 +427,7 @@ def canonical_url(url: Column) -> Column:
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_PAT),
+        lambda p: (F.length(p) > 0) & ~p.rlike(pat),
     )
     qcanon = F.array_join(F.array_sort(params), "&")
     rebuilt = F.concat(
@@ -420,11 +437,14 @@ def canonical_url(url: Column) -> Column:
     return F.when(scheme == "", F.lower(u)).otherwise(rebuilt)
 
 
-def url_dup_groups(df, url_col: str = "url"):
+def url_dup_groups(df, url_col: str = "url",
+                   tracking_params: tuple[str, ...] | None = None):
     """(canonical_url, n_variants, first_url): URL-level dup groups —
     one partial-aggregating groupBy keyed by the canonical string (the
     same 10^12-row shape as exact text dedup; no windows)."""
-    canon = df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    canon = df.withColumn(
+        "canonical_url", canonical_url(F.col(url_col), tracking_params)
+    )
     return canon.groupBy("canonical_url").agg(
         F.count(F.lit(1)).alias("n_variants"),
         F.min(url_col).alias("first_url"),

@@ -29,11 +29,14 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     banded_rows,
     bh_bucket_col,
+    check_sig_store_buckets,
     exact_dedup,
     incremental_near_dups,
     minhash_dedup_pairs,
     minhash_signatures,
+    read_sig_store_meta,
     sig_store_layout,
+    write_sig_store_meta,
 )
 from ..plans.caching import release_tracked_caches
 
@@ -137,6 +140,14 @@ def run_dedup_stream(
                     "store_buckets=None; pass the store's bucket count"
                 )
             )
+        if store is not None and read_sig_store_meta(
+            spark, store_path
+        ) is not None:
+            # column presence alone cannot catch a resume with a
+            # DIFFERENT --store-buckets: same layout, wrong modulus,
+            # matching store rows silently pruned → duplicates admitted.
+            # The stamped metadata makes that a hard error.
+            check_sig_store_buckets(spark, store_path, store_buckets)
         kept = _dedup_batch(
             batch_df, store, id_col, text_col, threshold, threshold_est,
             store_buckets,
@@ -178,6 +189,12 @@ def run_dedup_stream(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*part_cols)
             .parquet(store_path)
+        )
+        # stamp the construction params so any later resume/probe can
+        # validate its --store-buckets against what is actually on disk
+        write_sig_store_meta(
+            spark, store_path, store_buckets=store_buckets,
+            num_perm=16, bands=4, shingle_k=3,
         )
         totals["n_batches"] += 1
         totals["rows_in"] += batch_df.count()

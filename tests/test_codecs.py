@@ -817,6 +817,11 @@ def test_avi_mjpeg_container_round_trip():
         encode_avi_mjpeg([b"not a jpeg"], 8, 8)
     with pytest.raises(ValueError):
         encode_avi_mjpeg([], 8, 8)
+    # truncation anywhere must raise ValueError (the module's documented
+    # structural-lie contract) — NEVER a bare struct.error
+    for cut in (13, 20, len(avi) // 2, len(avi) - 3):
+        with pytest.raises(ValueError):
+            decode_avi_frames(avi[:cut])
 
 
 def test_sample_frames_real_for_avi():

@@ -136,3 +136,37 @@ def test_dedup_stream_rejects_compacted_store_layout(spark, tmp_path):
             spark, f"{in_dir}/*/", SCHEMA, out, ckpt,
             threshold=0.5, max_files_per_trigger=1,
         )
+
+
+def test_dedup_stream_rejects_bucket_count_mismatch(spark, tmp_path):
+    """Resuming a stream with a different --store-buckets than the store
+    was written with must FAIL the batch: the layout looks identical
+    (bh_bucket present either way), but the wrong modulus prunes away
+    matching store rows and silently admits near-duplicates.  The
+    stamped _sig_store_meta.json turns that into a hard error."""
+    import pytest
+
+    in_dir = tmp_path / "in"
+    spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "h1"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_dedup_stream(
+        spark, f"{in_dir}/*/", SCHEMA, out, ckpt,
+        threshold=0.5, max_files_per_trigger=1, store_buckets=8,
+    )
+    # the near-dup that MUST be caught by the store probe on resume
+    spark.createDataFrame(
+        [(300, BASE.replace("green", "dark"))], SCHEMA
+    ).coalesce(1).write.parquet(str(in_dir / "h2"))
+    with pytest.raises(Exception, match="store_buckets"):
+        run_dedup_stream(
+            spark, f"{in_dir}/*/", SCHEMA, out, ckpt,
+            threshold=0.5, max_files_per_trigger=1, store_buckets=4,
+        )
+    # correct modulus resumes cleanly and drops the near-dup
+    totals = run_dedup_stream(
+        spark, f"{in_dir}/*/", SCHEMA, out, ckpt,
+        threshold=0.5, max_files_per_trigger=1, store_buckets=8,
+    )
+    assert totals["rows_kept"] == 0

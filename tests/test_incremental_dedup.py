@@ -285,3 +285,56 @@ def test_incremental_equals_batch_cross_pairs(spark, texts):
         )
         expected[(id_new, id_old)] = est
     assert got == expected
+
+
+def test_store_meta_stamped_and_validated(spark, tmp_path):
+    """build_sig_store stamps _sig_store_meta.json; probing via
+    store_path with a DIFFERENT store_buckets raises instead of silently
+    pruning matching rows; appends with a different modulus raise too."""
+    import pytest
+
+    from language_detection_spark.operators.dedup import (
+        check_sig_store_buckets,
+        read_sig_store_meta,
+    )
+
+    old, new = _corpus(spark)
+    p = str(tmp_path / "sig_meta")
+    build_sig_store(old, p, store_buckets=8)
+    meta = read_sig_store_meta(spark, p)
+    assert meta == {
+        "store_buckets": 8, "num_perm": 16, "bands": 4, "shingle_k": 3,
+    }
+    store = spark.read.parquet(p)
+    # matching modulus: fine
+    check_sig_store_buckets(spark, p, 8)
+    ok = incremental_near_dups(new, store, store_buckets=8, store_path=p)
+    assert any(r["id_old"] == 0 for r in ok.collect())
+    # wrong modulus via the validated path: hard error
+    with pytest.raises(RuntimeError, match="store_buckets"):
+        incremental_near_dups(new, store, store_buckets=4, store_path=p)
+    with pytest.raises(RuntimeError, match="store_buckets"):
+        incremental_near_dups(new, store, store_buckets=None, store_path=p)
+    # appends must keep the modulus
+    with pytest.raises(RuntimeError, match="store_buckets"):
+        build_sig_store(new, p, mode="append", store_buckets=16)
+    # bucketed arg against an unbucketed frame: caught even without path
+    flat = str(tmp_path / "sig_meta_flat")
+    build_sig_store(old, flat)
+    with pytest.raises(RuntimeError, match="bh_bucket"):
+        incremental_near_dups(
+            new, spark.read.parquet(flat), store_buckets=8
+        )
+
+
+def test_compaction_preserves_store_meta(spark, tmp_path):
+    from language_detection_spark.operators.dedup import (
+        compact_sig_store,
+        read_sig_store_meta,
+    )
+
+    old, _ = _corpus(spark)
+    p = str(tmp_path / "sig_meta_compact")
+    build_sig_store(old, p, store_buckets=8)
+    compact_sig_store(spark, p)
+    assert read_sig_store_meta(spark, p)["store_buckets"] == 8

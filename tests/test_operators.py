@@ -542,6 +542,9 @@ def test_canonical_url(spark):
         "http://example.com:8080/x": "http://example.com:8080/x",
         # all-tracking query drops the '?'
         "http://a.io/p?gclid=1&fbclid=2": "http://a.io/p",
+        # 'ref' is NOT a tracking param (git refs, pagination, sections
+        # select distinct resources) — it must survive canonicalization
+        "http://a.io/repo?ref=main": "http://a.io/repo?ref=main",
         # non-web input: trimmed lowercase passthrough
         "  Not A URL  ": "not a url",
     }
