@@ -178,8 +178,138 @@ def main() -> None:
     # hypervisor steal at full machine load — documented there).  Skippable
     # for quick iterating with BENCH_PINNED=0.
     if os.environ.get("BENCH_PINNED", "1") != "0" and (not only or "pinned" in only):
-        out["pinned"] = _pinned_pipeline(pages_dir, n_docs)
-    print(json.dumps(out))
+        # paired in-window control (round-6 protocol): a FIXED small
+        # 1-core job runs immediately before the pinned leg.  Host
+        # delivery on this VM swings 1.5-3× between sessions at low
+        # steal, so a pinned rate is only interpretable relative to the
+        # control measured in the SAME window — the ratio cancels host
+        # drift exactly like the paired scaling protocol
+        # (BENCH/scaling_paired_1core.json) proved.
+        control = _control_pipeline()
+        # median-of-N: round-6 measured FOUR identical pinned runs in one
+        # zero-steal window at 4916/7018/5021/4045 docs/sec — a 1.74×
+        # spread with no steal and no code change.  A single-shot pinned
+        # datapoint is meaningless on this VM; the series needs a median.
+        p_repeats = int(os.environ.get("BENCH_PINNED_REPEATS", "3"))
+        p_runs = [
+            _pinned_pipeline(pages_dir, n_docs) for _ in range(p_repeats)
+        ]
+        rates = sorted(
+            r["docs_per_sec"] for r in p_runs if r.get("docs_per_sec")
+        )
+        pinned = dict(p_runs[0])
+        if rates:
+            mid = (
+                rates[len(rates) // 2]
+                if len(rates) % 2
+                else (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]) / 2
+            )
+            pinned["docs_per_sec"] = round(mid, 1)
+            pinned["docs_per_sec_runs"] = rates
+            pinned["aggregation"] = f"median-of-{len(rates)}"
+        if "docs_per_sec" in control and pinned.get("docs_per_sec"):
+            ref = CONTROL_REF_DOCS_PER_SEC
+            factor = control["docs_per_sec"] / ref
+            pinned["control"] = control
+            pinned["control_ref_docs_per_sec"] = ref
+            pinned["host_factor_vs_ref"] = round(factor, 4)
+            pinned["docs_per_sec_control_normalized"] = round(
+                pinned["docs_per_sec"] / factor, 1
+            )
+        else:
+            pinned["control"] = control
+        out["pinned"] = pinned
+    line = json.dumps(out)
+    # the driver scrapes the LAST stdout line, which a long session's
+    # buffering can truncate (r5 lost five queries' runs) — persist the
+    # complete JSON to a file as well (full runs only; partial/filtered
+    # runs must not clobber the round artifact)
+    if not only:
+        full = Path(__file__).resolve().parent / "BENCH" / "bench_full.json"
+        full.parent.mkdir(exist_ok=True)
+        full.write_text(line + "\n")
+    print(line)
+
+
+# Reference rate for the in-window control job, established round 6 at
+# 0.0% measured steal: median of 3 runs = 589.8 docs/sec
+# (589.8 / 560.0 / 629.5 — ±6% run-to-run wobble is the VM's floor; see
+# BENCH/BASELINE.md "pinned control" section).  The control is FROZEN:
+# 1 core (core 2 — core 0 handles IRQs on this VM), local[1], full
+# pipeline job over sf0.1 pages replicated ×6 (30,000 docs), same
+# spark-submit protocol as the pinned leg.
+CONTROL_REF_DOCS_PER_SEC = float(
+    os.environ.get("BENCH_CONTROL_REF", "589.8")
+)
+
+
+def _control_pipeline() -> dict:
+    """The frozen 1-core control job — measures what the host is
+    delivering in THIS window, in the same units as the pinned leg."""
+    import shutil
+    import subprocess
+
+    root = Path(__file__).resolve().parent
+    subprocess.run(
+        [sys.executable, str(root / "tools" / "make_dist.py")],
+        check=True, capture_output=True,
+    )
+    sf_dir = "/root/testdata/sf0.1"
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    pages_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"{tag}_bench_pages_x6_control"
+    )
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+
+        from language_detection_spark.sources.pages import synth_pages_df
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("control-pages-gen")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        p = synth_pages_df(spark, sf_dir)
+        p = p.withColumn(
+            "_r", F.explode(F.sequence(F.lit(1), F.lit(6)))
+        ).withColumn(
+            "url", F.concat(F.col("url"), F.lit("?copy="), F.col("_r"))
+        ).drop("_r")
+        p.repartition(8).write.mode("overwrite").parquet(pages_dir)
+        spark.stop()
+    out_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "bench_control_out"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cmd = [
+        "taskset", "-c", "2",
+        "spark-submit",
+        "--master", "local[1]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=4g",
+        "--py-files", str(root / "dist" / "pipeline.zip"),
+        str(root / "jobs" / "run_pipeline.py"),
+        "--input", pages_dir,
+        "--output", out_dir,
+        "--buckets", "16",
+        "--chunk", "64",
+        "--no-resume",
+    ]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=root)
+    if proc.returncode != 0:
+        return {"error": proc.stderr[-500:]}
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    return {
+        "protocol": "control-v1-1core-30k-docs-core2",
+        "docs_per_sec": res.get("docs_per_sec"),
+        "wall_sec": res.get("wall_sec"),
+        "launch_wall_sec": round(time.time() - t0, 1),
+    }
 
 
 def _pinned_pipeline(pages_dir: str, n_docs: int, cores: int = 16) -> dict:
