@@ -471,7 +471,7 @@ def _finish_progressive(state, frame, qt) -> np.ndarray:
             )
         rg, cg, _ = grid.shape
         blocks = grid.reshape(-1, 8, 8).astype(np.float64) * qt[c["tq"]]
-        idct = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A)
+        idct = np.matmul(np.matmul(_A.T, blocks), _A)
         planes.append(
             idct.reshape(rg, cg, 8, 8).transpose(0, 2, 1, 3)
             .reshape(rg * 8, cg * 8)
@@ -831,16 +831,25 @@ def _decode_scan(b, pos, frame, scan_map, qt, huff_dc, huff_ac,
     except IndexError:
         raise ValueError("JPEG entropy stream truncated") from None
 
-    # pass 2 — dequantize + IDCT every block of a component in ONE einsum,
-    # then assemble the plane with a reshape/transpose (block order is
-    # (my, mx, by, bx), so no scatter loop is needed)
+    return _assemble_planes(coefs, frame, qt, mcux, mcuy, tmpl)
+
+
+def _assemble_planes(coefs, frame, qt, mcux, mcuy, tmpl) -> np.ndarray:
+    """Pass 2 of baseline decode (shared by the scalar and batch paths):
+    dequantize + IDCT every block of a component in one batched matmul
+    chain (A.T @ X @ A over the whole (n, 8, 8) stack — hits BLAS, ~27x
+    the equivalent einsum), then assemble the plane with a
+    reshape/transpose (block order is (my, mx, by, bx), so no scatter
+    loop is needed)."""
     tmpl_arr = np.asarray(tmpl)
+    bpm = len(tmpl)
+    n_mcus = mcux * mcuy
     planes = []
-    for ci, c in enumerate(comps):
+    for ci, c in enumerate(frame["comps"]):
         sel = np.flatnonzero(tmpl_arr == ci)
         rows = (np.arange(n_mcus)[:, None] * bpm + sel[None, :]).ravel()
         blocks = coefs[rows].reshape(-1, 8, 8) * qt[c["tq"]]
-        idct = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A)
+        idct = np.matmul(np.matmul(_A.T, blocks), _A)
         v, hh = c["v"], c["h"]
         planes.append(
             idct.reshape(mcuy, mcux, v, hh, 8, 8)
@@ -875,3 +884,458 @@ def _finish_planes(planes: list[np.ndarray], frame: dict) -> np.ndarray:
     bl = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, bl], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Batched lockstep decode — SIMD across entropy streams
+#
+# Huffman entropy coding is bit-serial WITHIN a stream, but a curation
+# pipeline decodes an Arrow batch of independent images at once, and every
+# restart segment of every image is an independent stream.  The lockstep
+# decoder below steps ALL those streams together: one numpy "step" decodes
+# the next Huffman symbol of every active stream via gathers into stacked
+# 16-bit peek LUTs plus a masked state machine (DC phase / AC phase /
+# block advance).  Per-symbol cost drops from a Python loop iteration to
+# ~1/L of a vector op over L lanes, so throughput scales with how many
+# streams the batch supplies.  Anything unusual — progressive, malformed
+# markers, invalid codes, truncation — drops that image to the scalar
+# `decode_jpeg`, which produces the identical pixels or the identical
+# ValueError, keeping the batch path bit-exact and error-exact.
+
+_TABLE_CACHE: dict[bytes, _HuffTable] = {}
+
+
+def _cached_table(counts: bytes, symbols: bytes) -> _HuffTable:
+    """Memoized `_HuffTable` keyed by DHT content: batches of real-world
+    images reuse a handful of tables (libjpeg's defaults, our encoder's
+    canonical set), so the 64K-entry LUT build runs once per distinct
+    table, and the key doubles as the stacking identity for the batch
+    decoder's gather tables."""
+    key = bytes(counts) + b"\x00" + bytes(symbols)
+    t = _TABLE_CACHE.get(key)
+    if t is None:
+        if len(_TABLE_CACHE) >= 64:
+            _TABLE_CACHE.clear()
+        t = _HuffTable(counts, symbols)
+        t.key = key
+        _TABLE_CACHE[key] = t
+    return t
+
+
+def _parse_baseline(b: bytes):
+    """Optimistic header walk for the batch decoder: the parsed scan
+    description for a clean 8-bit baseline-sequential JPEG, else None.
+    None means "let the scalar `decode_jpeg` handle it" — progressive
+    streams, unsupported modes, malformed markers, missing tables: the
+    scalar path then yields the identical pixels or identical error, so
+    this parser never needs to replicate error semantics."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    i, n = 2, len(b)
+    try:
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                return None
+            (seglen,) = struct.unpack_from(">H", b, i + 2)
+            seg = b[i + 4 : i + 2 + seglen]
+            if marker == 0xDB:
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                    j += 1
+                    if pq == 0:
+                        table = np.frombuffer(seg, np.uint8, 64, j).astype(
+                            np.int32
+                        )
+                        j += 64
+                    else:
+                        table = np.frombuffer(seg, ">u2", 64, j).astype(
+                            np.int32
+                        )
+                        j += 128
+                    q = np.zeros(64, np.int32)
+                    q[ZIGZAG] = table
+                    qt[tq] = q.reshape(8, 8)
+            elif marker == 0xC4:
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0x0F
+                    counts = seg[j + 1 : j + 17]
+                    nsym = sum(counts)
+                    symbols = seg[j + 17 : j + 17 + nsym]
+                    if len(counts) < 16 or len(symbols) < nsym:
+                        return None
+                    (huff_dc if tc == 0 else huff_ac)[th] = _cached_table(
+                        counts, symbols
+                    )
+                    j += 17 + nsym
+            elif marker in (0xC0, 0xC1):
+                precision, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+                if precision != 8 or h <= 0 or w <= 0 or not 1 <= ncomp <= 4:
+                    return None
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq2 = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                    if hv >> 4 < 1 or hv & 0x0F < 1:
+                        return None
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq2}
+                    )
+                frame = {"h": h, "w": w, "comps": comps, "progressive": False}
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None
+            elif marker == 0xDD:
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan_map = {}
+                for c in range(ns):
+                    scan_map[seg[1 + 2 * c]] = (
+                        seg[2 + 2 * c] >> 4,
+                        seg[2 + 2 * c] & 0x0F,
+                    )
+                for comp in frame["comps"]:
+                    if comp["id"] not in scan_map or comp["tq"] not in qt:
+                        return None
+                    dc_t, ac_t = scan_map[comp["id"]]
+                    if dc_t not in huff_dc or ac_t not in huff_ac:
+                        return None
+                return {
+                    "frame": frame, "qt": qt, "huff_dc": huff_dc,
+                    "huff_ac": huff_ac, "scan_map": scan_map,
+                    "ri": restart_interval, "pos": i + 2 + seglen,
+                }
+            i += 2 + seglen
+    except (struct.error, IndexError, ValueError):
+        return None
+    return None
+
+
+def _plan_scan(b: bytes, meta: dict):
+    """MCU geometry + pre-split entropy segments for one parsed baseline
+    image; None on any mismatch (scalar fallback raises the right
+    error).  Mirrors `_decode_scan`'s geometry exactly."""
+    frame = meta["frame"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    n_mcus = mcux * mcuy
+    tmpl = [ci for ci, c in enumerate(comps) for _ in range(c["v"] * c["h"])]
+    segs, _ = _entropy_segments(b, meta["pos"])
+    ri = meta["ri"] or n_mcus
+    n_segs = -(-n_mcus // ri)
+    if len(segs) < n_segs:
+        return None
+    return {
+        **meta, "mcux": mcux, "mcuy": mcuy, "n_mcus": n_mcus,
+        "tmpl": tmpl, "bpm": len(tmpl), "segs": segs[:n_segs], "ri_eff": ri,
+    }
+
+
+def _run_lockstep(plans: list) -> None:
+    """Decode every entropy segment of every planned image in lockstep.
+    Fills ``plan["coefs"]`` ((n_blocks, 64) float64, identical to the
+    scalar pass-1 output) per image, or sets ``plan["failed"]`` when any
+    of its lanes hits a condition the scalar decoder reports as an error
+    (invalid code, AC overrun, truncation) — the caller re-decodes those
+    images scalar so the exception is exactly the scalar one."""
+    # --- stack distinct Huffman LUTs (dedup by DHT content key)
+    dc_keys: dict[bytes, int] = {}
+    ac_keys: dict[bytes, int] = {}
+    dc_sym, dc_len, ac_sym, ac_len = [], [], [], []
+
+    def _tid(tab, keys, syms, lens):
+        k = tab.key
+        if k not in keys:
+            keys[k] = len(syms)
+            syms.append(tab.lut_sym)
+            lens.append(tab.lut_len)
+        return keys[k]
+
+    lane_u: list[np.ndarray] = []
+    uoff, uend, segbits = [], [], []
+    toff, bpm_l, nblk, outbase = [], [], [], []
+    dctab_l, actab_l = [], []
+    tmpl_flat: list[int] = []
+    u_run = 0
+    coef_base = 0
+    for pl in plans:
+        comps = pl["frame"]["comps"]
+        dct, act_ = [0] * 4, [0] * 4
+        for ci_, c in enumerate(comps):
+            dc_t, ac_t = pl["scan_map"][c["id"]]
+            dct[ci_] = _tid(pl["huff_dc"][dc_t], dc_keys, dc_sym, dc_len)
+            act_[ci_] = _tid(pl["huff_ac"][ac_t], ac_keys, ac_sym, ac_len)
+        t0 = len(tmpl_flat)
+        tmpl_flat.extend(pl["tmpl"])
+        ri, n_mcus, bpm = pl["ri_eff"], pl["n_mcus"], pl["bpm"]
+        pl["coef_base"] = coef_base
+        pl["lane_lo"] = len(uoff)
+        for si, seg in enumerate(pl["segs"]):
+            u32, nbits = _bit_window(seg)
+            lane_u.append(u32)
+            uoff.append(u_run)
+            u_run += len(u32)
+            uend.append(u_run)
+            segbits.append(nbits)
+            toff.append(t0)
+            bpm_l.append(bpm)
+            nblk.append(min(ri, n_mcus - si * ri) * bpm)
+            outbase.append(coef_base + si * ri * bpm)
+            dctab_l.append(dct)
+            actab_l.append(act_)
+        pl["lane_hi"] = len(uoff)
+        coef_base += n_mcus * bpm
+
+    L = len(uoff)
+    U = np.concatenate(lane_u).astype(np.int64)
+    # flat int64 LUTs: one gather via (table_id << 16) | v16, no astype
+    # in the hot loop
+    DCSf = np.stack(dc_sym).astype(np.int64).ravel()
+    DCLf = np.stack(dc_len).astype(np.int64).ravel()
+    ACSf = np.stack(ac_sym).astype(np.int64).ravel()
+    ACLf = np.stack(ac_len).astype(np.int64).ravel()
+    C = np.zeros((coef_base, 64))
+    ZZ = ZIGZAG
+
+    uoff_a = np.asarray(uoff, np.int64)
+    uend_a = np.asarray(uend, np.int64)
+    segbits_a = np.asarray(segbits, np.int64)
+    toff_a = np.asarray(toff, np.int64)
+    bpm_a = np.asarray(bpm_l, np.int64)
+    nblk_a = np.asarray(nblk, np.int64)
+    outbase_a = np.asarray(outbase, np.int64)
+    dctab_a = np.asarray(dctab_l, np.int64)
+    actab_a = np.asarray(actab_l, np.int64)
+    tmpl_a = np.asarray(tmpl_flat, np.int64)
+
+    # --- lane state (all L-sized; int64 so corrupt-stream DC chains
+    # accumulate exactly like the scalar path's Python ints)
+    p = np.zeros(L, np.int64)          # bit position in the segment
+    jb = np.zeros(L, np.int64)         # block index within the segment
+    kk = np.zeros(L, np.int64)         # zigzag index within the block
+    phase = np.zeros(L, np.int8)       # 0 = expect DC code, 1 = AC code
+    pred = np.zeros((L, 4), np.int64)  # per-component DC predictor
+    alive = np.ones(L, bool)
+    fl = np.zeros(L, bool)
+    ci = tmpl_a[toff_a]                # current block's component index
+    outrow = outbase_a.copy()
+
+    def _fail(idx):
+        fl[idx] = True
+        alive[idx] = False
+
+    nw_a = uend_a - uoff_a  # words per lane window
+
+    act = np.flatnonzero(alive)
+    while act.size:
+        pa = p[act]
+        oob = (pa >> 3) >= nw_a[act]
+        if oob.any():  # scalar raises "truncated" via IndexError here
+            _fail(act[oob])
+            act = act[~oob]
+            if not act.size:
+                act = np.flatnonzero(alive)
+                continue
+            pa = p[act]
+        w32 = U[uoff_a[act] + (pa >> 3)]
+        sh = pa & 7
+        v16 = ((w32 << sh) & 0xFFFFFFFF) >> 16
+        isdc = phase[act] == 0
+        bdone = np.zeros(L, bool)
+
+        # The magnitude bits that follow a code live in the SAME 32-bit
+        # window already fetched for the code whenever sh + ln + s <= 32
+        # (the overwhelmingly common case) — extract them with shifts on
+        # w32 instead of a second gather.  The scalar path's second peek
+        # and its IndexError bound are reproduced exactly: lanes whose
+        # magnitude-peek word index would be out of range fail (→ scalar
+        # fallback raises), and the rare spill lanes re-gather for real.
+
+        # ---- DC code (+ its magnitude bits in the same step)
+        di = np.flatnonzero(isdc)
+        if di.size:
+            lanes = act[di]
+            cid = ci[lanes]
+            idx = (dctab_a[lanes, cid] << 16) + v16[di]
+            sym = DCSf[idx]
+            ln = DCLf[idx]
+            bad = (ln == 0) | (sym > 16)
+            if bad.any():
+                _fail(lanes[bad])
+                keep = ~bad
+                lanes, cid, sym, ln, di = (
+                    lanes[keep], cid[keep], sym[keep], ln[keep], di[keep]
+                )
+            pa_d = pa[di]
+            pnew = pa_d + ln
+            hm = sym > 0
+            ob = hm & ((pnew >> 3) >= nw_a[lanes])
+            if ob.any():
+                _fail(lanes[ob])
+                keep = ~ob
+                lanes, cid, sym, pa_d, pnew, hm, di = (
+                    lanes[keep], cid[keep], sym[keep], pa_d[keep],
+                    pnew[keep], hm[keep], di[keep]
+                )
+            s1 = np.maximum(sym, 1)
+            mag = ((w32[di] << (sh[di] + (pnew - pa_d))) & 0xFFFFFFFF) >> (
+                32 - s1
+            )
+            spill = hm & (sh[di] + (pnew - pa_d) + sym > 32)
+            if spill.any():
+                sp = np.flatnonzero(spill)
+                w2 = U[uoff_a[lanes[sp]] + (pnew[sp] >> 3)]
+                mag[sp] = (
+                    ((w2 << (pnew[sp] & 7)) & 0xFFFFFFFF) >> 16
+                ) >> (16 - s1[sp])
+            diff = np.where(mag >= (1 << (s1 - 1)), mag, mag - (1 << s1) + 1)
+            pred[lanes, cid] += np.where(hm, diff, 0)
+            p[lanes] = pnew + sym
+            C[outrow[lanes], 0] = pred[lanes, cid]
+            kk[lanes] = 1
+            phase[lanes] = 1
+
+        # ---- AC code (+ magnitude bits)
+        ai = np.flatnonzero(~isdc)
+        if ai.size:
+            lanes = act[ai]
+            idx = (actab_a[lanes, ci[lanes]] << 16) + v16[ai]
+            rs = ACSf[idx]
+            ln = ACLf[idx]
+            bad = ln == 0
+            if bad.any():
+                _fail(lanes[bad])
+                keep = ~bad
+                lanes, rs, ln, ai = lanes[keep], rs[keep], ln[keep], ai[keep]
+            pa_a = pa[ai]
+            pnew = pa_a + ln
+            r = rs >> 4
+            s = rs & 15
+            iszero = s == 0
+            kadd = np.where(iszero, np.where(r == 15, 16, 0), r)
+            kcur = kk[lanes] + kadd
+            bdone[lanes[iszero & ((r != 15) | (kcur >= 64))]] = True
+            hm = ~iszero
+            over = hm & (kcur > 63)
+            if over.any():  # scalar: "JPEG AC index overrun"
+                _fail(lanes[over])
+                hm &= ~over
+            ob = hm & ((pnew >> 3) >= nw_a[lanes])
+            if ob.any():
+                _fail(lanes[ob])
+                hm &= ~ob
+            s1 = np.maximum(s, 1)
+            mag = ((w32[ai] << (sh[ai] + ln)) & 0xFFFFFFFF) >> (32 - s1)
+            spill = hm & (sh[ai] + ln + s > 32)
+            if spill.any():
+                sp = np.flatnonzero(spill)
+                w2 = U[uoff_a[lanes[sp]] + (pnew[sp] >> 3)]
+                mag[sp] = (
+                    ((w2 << (pnew[sp] & 7)) & 0xFFFFFFFF) >> 16
+                ) >> (16 - s1[sp])
+            val = np.where(mag >= (1 << (s1 - 1)), mag, mag - (1 << s1) + 1)
+            wl = np.flatnonzero(hm)
+            C[outrow[lanes[wl]], ZZ[kcur[wl]]] = val[wl]
+            p[lanes] = pnew + s * hm
+            kk[lanes] = kcur + hm
+            bdone[lanes[hm & (kcur >= 63)]] = True
+
+        # ---- block advance / segment completion
+        adv = np.flatnonzero(bdone & alive)
+        if adv.size:
+            jb[adv] += 1
+            finm = jb[adv] >= nblk_a[adv]
+            fin = adv[finm]
+            if fin.size:
+                trunc = p[fin] > segbits_a[fin]
+                _fail(fin[trunc])  # scalar: "entropy stream truncated"
+                alive[fin[~trunc]] = False
+            cont = adv[~finm]
+            if cont.size:
+                ci[cont] = tmpl_a[toff_a[cont] + jb[cont] % bpm_a[cont]]
+                outrow[cont] = outbase_a[cont] + jb[cont]
+                phase[cont] = 0
+        act = np.flatnonzero(alive)
+
+    for pl in plans:
+        if fl[pl["lane_lo"] : pl["lane_hi"]].any():
+            pl["failed"] = True
+        else:
+            lo = pl["coef_base"]
+            pl["coefs"] = C[lo : lo + pl["n_mcus"] * pl["bpm"]]
+
+
+def decode_jpeg_batch(payloads, min_lanes: int = 128,
+                      max_blocks: int = 1 << 19) -> list[np.ndarray]:
+    """Decode many JPEG payloads together; returns their pixel arrays in
+    input order, bit-identical to ``[decode_jpeg(p) for p in payloads]``
+    (the per-payload error is also identical — a failing payload raises
+    the scalar decoder's exception at its input position).
+
+    Baseline images feed the lockstep SIMD-across-streams entropy
+    decoder; progressive / malformed / exotic payloads fall back to the
+    scalar path per image.  Groups are capped at ``max_blocks`` 8x8
+    blocks (~256 MB of coefficients) so huge batches stay memory-bounded,
+    and groups that would run with fewer than ``min_lanes`` lanes decode
+    scalar instead — below that, per-step numpy dispatch overhead beats
+    the Python loop it replaces."""
+    items = [bytes(p) for p in payloads]
+    plans: list = []
+    for b in items:
+        meta = _parse_baseline(b)
+        plans.append(_plan_scan(b, meta) if meta is not None else None)
+
+    # group into memory-bounded lockstep runs
+    group: list = []
+    g_blocks = g_lanes = 0
+
+    def _flush():
+        nonlocal group, g_blocks, g_lanes
+        if group:
+            if g_lanes >= min_lanes:
+                _run_lockstep(group)
+            else:
+                for pl in group:
+                    pl["failed"] = True
+            group, g_blocks, g_lanes = [], 0, 0
+
+    for pl in plans:
+        if pl is None:
+            continue
+        nb = pl["n_mcus"] * pl["bpm"]
+        if group and g_blocks + nb > max_blocks:
+            _flush()
+        group.append(pl)
+        g_blocks += nb
+        g_lanes += len(pl["segs"])
+    _flush()
+
+    out: list[np.ndarray] = []
+    for b, pl in zip(items, plans):
+        if pl is None or pl.get("failed"):
+            out.append(decode_jpeg(b))
+        else:
+            out.append(
+                _assemble_planes(
+                    pl["coefs"], pl["frame"], pl["qt"],
+                    pl["mcux"], pl["mcuy"], pl["tmpl"],
+                )
+            )
+    return out

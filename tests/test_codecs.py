@@ -876,3 +876,122 @@ def test_extract_frame_features_distributed(spark):
             assert f["n_frames"] == n_frames
             assert f["n_sampled"] == n_sampled
             assert 0.0 <= f["frame_mean"] <= 255.0
+
+
+def test_decode_jpeg_batch_bit_identical():
+    """Lockstep batch decode == scalar decode, bit for bit, across
+    baseline/progressive/restart-interval/grayscale/color payloads and
+    across lockstep group boundaries (small max_blocks forces several
+    groups)."""
+    import numpy as np
+
+    from language_detection_spark.functions.jpeg import (
+        decode_jpeg,
+        decode_jpeg_batch,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    payloads = []
+    for i in range(48):
+        h, w = int(8 + rng.integers(0, 90)), int(8 + rng.integers(0, 90))
+        if i % 3 == 0:
+            px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.clip(
+                (yy * 3 + xx * 2)[:, :, None] % 256
+                + rng.integers(-20, 21, (h, w, 3)),
+                0, 255,
+            ).astype(np.uint8)
+        kw = {}
+        if i % 5 == 2:
+            kw["progressive"] = True  # exercises the scalar-fallback mix
+        elif i % 4 == 1:
+            kw["restart_interval"] = 3  # multiple lanes per image
+        payloads.append(
+            encode_jpeg(px, quality=int(55 + (i % 6) * 9), **kw)
+        )
+    scalar = [decode_jpeg(p) for p in payloads]
+    for kwargs in ({"min_lanes": 1}, {"min_lanes": 1, "max_blocks": 512}):
+        batch = decode_jpeg_batch(payloads, **kwargs)
+        assert all(
+            a.shape == b.shape and (a == b).all()
+            for a, b in zip(scalar, batch)
+        )
+    # below min_lanes everything takes the scalar path — still identical
+    few = decode_jpeg_batch(payloads[:3])
+    assert all((a == b).all() for a, b in zip(scalar[:3], few))
+
+
+def test_decode_jpeg_batch_error_parity():
+    """A bad payload in a batch raises the scalar decoder's exact
+    exception; corrupted entropy streams either fail identically or
+    decode to identical pixels."""
+    import numpy as np
+    import pytest
+
+    from language_detection_spark.functions.jpeg import (
+        decode_jpeg,
+        decode_jpeg_batch,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    px = np.clip(
+        np.mgrid[0:40, 0:56][0][:, :, None] * 5
+        + rng.integers(-9, 10, (40, 56, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    good = encode_jpeg(px, quality=80)
+    with pytest.raises(ValueError, match="no scan data"):
+        decode_jpeg_batch([good, b"\xff\xd8\xff\xe0 truncated", good])
+    for seed in range(12):
+        r2 = np.random.default_rng(seed)
+        bad = bytearray(good)
+        for _ in range(3):
+            bad[int(r2.integers(len(bad) // 2, len(bad)))] = int(
+                r2.integers(0, 256)
+            )
+        bad = bytes(bad)
+        try:
+            want, want_err = decode_jpeg(bad), None
+        except ValueError as e:
+            want, want_err = None, str(e)
+        try:
+            got = decode_jpeg_batch([bad] * 20, min_lanes=1)[9]
+            got_err = None
+        except ValueError as e:
+            got, got_err = None, str(e)
+        assert want_err == got_err
+        if want is not None:
+            assert (want == got).all()
+
+
+def test_decode_media_batch_matches_scalar(spark):
+    """decode_media_batch == row-by-row decode_media over a mixed batch
+    of real formats (incl. MJPEG AVI whose frames join the lockstep) and
+    fake-decoder rows."""
+    import numpy as np
+
+    from language_detection_spark.operators.multimodal import (
+        decode_media,
+        decode_media_batch,
+        synth_real_media_df,
+        synth_video_df,
+    )
+
+    media = synth_real_media_df(spark, n=20).collect()
+    videos = synth_video_df(spark, n=4).collect()
+    payloads = [bytes(r["payload"]) for r in media + videos]
+    kinds = [r["kind"] for r in media + videos]
+    # an unrecognized payload exercising the fake path
+    payloads.append(b"\x00\x01unknown-bytes")
+    kinds.append("image")
+    want = [decode_media(p, k, fake=True) for p, k in zip(payloads, kinds)]
+    got = decode_media_batch(payloads, kinds, fake=True)
+    assert len(want) == len(got)
+    assert all(
+        isinstance(g, np.ndarray) and (w == g).all()
+        for w, g in zip(want, got)
+    )
