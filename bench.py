@@ -142,6 +142,8 @@ def main() -> None:
           lambda: q["quality_terciles"](spark, sf_dir).count())
     timed("perplexity_terciles",
           lambda: q["perplexity_terciles"](spark, sf_dir).count())
+    timed("semantic_dedup", lambda: q["semantic_dedup"](spark, sf_dir).count())
+    timed("dsir_scores", lambda: q["dsir_scores"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

@@ -402,3 +402,72 @@ def ivf_topk(
         cosine_sim(F.col("qv").cast("array<double>"), F.col("v").cast("array<double>")),
     )
     return two_phase_topk(scored.select("query_id", "vec_id", "sim"), k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.35,
+    sample_n: int = 256,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-partitioned semantic deduplication
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public paper): embeddings are
+    coarse-quantized by the deterministic k-means quantizer
+    (``ivf_centroids``), pairwise exact cosine runs ONLY within a
+    cluster, and a vector is dropped when a lower-id vector in the same
+    cluster is ≥ ``threshold`` similar.  Keep rule is canonical-min-id —
+    deterministic and re-derivable by an independent engine.
+
+    Scale shape: the cross product never materializes globally — the
+    self-join key is the centroid id, so the work is Σ|cluster|² spread
+    over clusters (pick ``n_centroids`` ∝ corpus/target-cluster-size to
+    bound the quadratic term; AQE splits skewed clusters).  The dropped
+    set is a semi-join back on vec_id.  At 100 TB this is the standard
+    SemDeDup layout: cluster-partitioned shuffle, per-cluster pairwise,
+    no driver-side data motion beyond the bounded centroid sample.
+
+    Returns one row per input vector: (vec_id, centroid, keep).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, n_centroids, sample_n, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    assign = _centroid_assign_udf(centroids, nprobe=1)
+    base = (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .withColumn("centroid", assign(F.col("v"))[0])
+        .transform(persist_tracked)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid") == F.col("b.centroid"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .withColumn(
+            "sim",
+            cosine_sim(
+                F.col("a.v").cast("array<double>"),
+                F.col("b.v").cast("array<double>"),
+            ),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        base.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("centroid").cast("int").alias("centroid"),
+            F.col("_dropped").isNull().alias("keep"),
+        )
+    )

@@ -449,3 +449,88 @@ def url_dup_groups(df, url_col: str = "url",
         F.count(F.lit(1)).alias("n_variants"),
         F.min(url_col).alias("first_url"),
     )
+
+
+def dsir_scores(
+    docs,
+    target_sources: tuple[str, ...] = ("src0", "src1", "src2"),
+    n_buckets: int = 1024,
+    alpha: float = 0.1,
+    select_quantile: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public paper):
+    hashed word {1,2}-gram features (md5 bucket mod ``n_buckets``), two
+    smoothed bag-of-buckets multinomials — the target domain
+    (``source ∈ target_sources``) vs the full raw corpus — and a per-doc
+    importance score = mean over feature OCCURRENCES of
+    log p_target(bucket) − log p_raw(bucket) (length-normalized variant
+    of the paper's sum).  ``selected`` marks docs above the
+    ``select_quantile`` cut of the score distribution (deterministic
+    stand-in for the paper's Gumbel resampling).
+
+    Scale shape: the distributions are two ≤``n_buckets``-row aggregates
+    (map-side partial combine, broadcast back), so the only data-scale
+    shuffle is the per-doc average; the quantile cut is an exact
+    ``percentile`` over one row per doc (swap to ``percentile_approx``
+    at extreme corpus sizes).  Everything is JVM expressions — no
+    Python in the hot path.
+    """
+    from pyspark.sql import functions as F
+
+    feats = F.concat(
+        word_ngram_hashes(F.col(text_col), 1),
+        word_ngram_hashes(F.col(text_col), 2),
+    )
+    b = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.explode(feats).alias("gh"),
+        )
+        .withColumn("bucket", F.pmod(F.col("gh"), F.lit(n_buckets)))
+        .select("doc_id", "source", "bucket")
+    )
+    is_target = F.col("source").isin(*target_sources)
+    rc = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("r"),
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("double").alias("t"),
+    )
+    totals = rc.agg(
+        F.sum("r").alias("t_raw"), F.sum("t").alias("t_tgt")
+    )
+    aB = float(alpha) * n_buckets
+    lr = (
+        rc.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            (F.log(F.col("t") + F.lit(float(alpha)))
+             - F.log(F.col("t_tgt") + F.lit(aB)))
+            - (F.log(F.col("r") + F.lit(float(alpha)))
+               - F.log(F.col("t_raw") + F.lit(aB))),
+        )
+        .select("bucket", "lr")
+    )
+    scored = (
+        b.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("lr"), 6).alias("score"),
+        )
+    )
+    cut = scored.agg(
+        F.percentile("score", select_quantile).alias("cut")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_feats",
+            "score",
+            (F.col("score") > F.col("cut")).alias("selected"),
+        )
+    )
