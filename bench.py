@@ -144,6 +144,10 @@ def main() -> None:
           lambda: q["perplexity_terciles"](spark, sf_dir).count())
     timed("semantic_dedup", lambda: q["semantic_dedup"](spark, sf_dir).count())
     timed("dsir_scores", lambda: q["dsir_scores"](spark, sf_dir).count())
+    timed("packed_sequences",
+          lambda: q["packed_sequences"](spark, sf_dir).count())
+    timed("language_rebalance",
+          lambda: q["language_rebalance"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

@@ -534,3 +534,74 @@ def dsir_scores(
             (F.col("score") > F.col("cut")).alias("selected"),
         )
     )
+
+
+def language_rebalance(
+    df,
+    target_permille: dict[str, int],
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "rebal:v1",
+):
+    """Downsample to a target language mixture — the rebalancing step of
+    a multilingual training pipeline (e.g. cap English dominance at a
+    stated share).  Unlike ``weighted_sample_by_source`` the per-language
+    keep rates are CALIBRATED FROM THE DATA: the largest corpus
+    achievable with exact target shares keeps
+    ``N* = min_l floor(count_l · 1000 / share_pm_l)`` documents, and each
+    language is kept at ``rate_l = share_pm_l · N* / (1000 · count_l)``
+    (the scarcest language relative to its target share is the binding
+    constraint with rate ≈ 1; abundant languages are thinned).
+
+    All rate math is 64-bit INTEGER arithmetic — ``rate_ppm =
+    share_pm · N* · 1000 DIV count_l`` parts-per-million, keep iff
+    ``md5(salt:id) mod 10^6 < rate_ppm`` — so an independent engine
+    reproduces every decision bit-for-bit (no float boundaries).  Range
+    headroom: products stay < 2^63 for corpora up to ~9·10^12 documents.
+    Languages absent from ``target_permille`` are dropped (share 0).
+
+    Scale shape: the per-language counts are one tiny aggregate
+    (map-side combine → ≤|langs| rows), rates broadcast back, and the
+    keep decision is a map-side filter — no data-scale shuffle at all.
+
+    Reference anchor: consumes the detector's language labels
+    (`Detector.java:259` ranking); the mixture mechanism itself follows
+    the public data-mixture recipes (CCNet / The Pile per-source
+    weights).
+    """
+    if not target_permille or min(target_permille.values()) < 1:
+        raise ValueError("target_permille must map langs to positive permille")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(target_permille.items())],
+        f"{lang_col}: string, share_pm: int",
+    )
+    counts = (
+        df.groupBy(lang_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_l"))
+        .join(tgt, lang_col)
+    )
+    n_star = counts.agg(
+        F.min(F.expr("n_l * 1000 DIV share_pm")).alias("n_star")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(n_star))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.expr("share_pm * n_star * 1000 DIV n_l"),
+                F.lit(1_000_000).cast("bigint"),
+            ),
+        )
+        .select(lang_col, "rate_ppm")
+    )
+    bucket = F.pmod(
+        md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return (
+        df.join(F.broadcast(rates), lang_col)
+        .withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < F.col("rate_ppm"))
+        .select(id_col, lang_col, "rate_ppm", "sample_bucket")
+    )
