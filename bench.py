@@ -148,6 +148,7 @@ def main() -> None:
           lambda: q["packed_sequences"](spark, sf_dir).count())
     timed("language_rebalance",
           lambda: q["language_rebalance"](spark, sf_dir).count())
+    timed("bpe_merges", lambda: q["bpe_merges"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

@@ -1,0 +1,167 @@
+"""Distributed BPE-merge training (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units" — public paper): learn the
+byte-pair-encoding merge table of a corpus with Spark doing the counting.
+
+Reference anchor: the reference's trainer (`LangProfileFactory`
+profile-building loop, cited at `models/trainer.py`) aggregates n-gram
+frequencies corpus-wide; BPE training is the same shape one level up —
+iterative frequency aggregation with a tiny argmax collected per round.
+
+Scale design (100 TB): the corpus-scale work is exactly ONE pass — the
+word-frequency aggregation (map-side combine, Zipf makes the distinct-
+word table orders of magnitude smaller than the corpus).  Every merge
+iteration then touches only that vocab table: adjacent-pair explode →
+partial-agg count → 1-row argmax to the driver; the merge itself is a
+pure JVM ``aggregate`` fold over each word's symbol array (greedy
+left-to-right, the standard BPE application order).  The vocab table is
+``localCheckpoint``-ed each round so 30 iterations never stack 30
+expression trees.  Nothing data-scale ever reaches the driver — only the
+single best (left, right, count) row per merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EOW = "</w>"
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) corpus frequency table — the ONLY corpus-scale pass."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(words).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _initial_symbols(word: F.Column) -> F.Column:
+    """Character symbols plus the dedicated end-of-word marker."""
+    return F.concat(F.split(word, ""), F.array(F.lit(_EOW)))
+
+
+def _merge_expr(left: str, right: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent [left, right] → left+right,
+    as a JVM-side aggregate fold (no Python)."""
+    merged = left + right
+
+    def step(acc, s):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(
+        F.col("syms"), F.array().cast("array<string>"), step
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("l"),
+                F.element_at(F.col("syms"), i + F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "n")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 24,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges; returns
+    ``[(merge_rank, left_sym, right_sym, pair_count), ...]``.
+
+    Deterministic: argmax tie-break is (count desc, left asc, right asc)
+    — both engines compare strings by code point, so an independent
+    implementation reproduces the exact merge sequence.  Stops early when
+    no adjacent pair remains (every word fully merged).
+    """
+    vocab = (
+        word_freq_table(df, text_col)
+        .select(_initial_symbols(F.col("word")).alias("syms"), "n")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((rank, l, r, cnt))
+        vocab = vocab.select(
+            _merge_expr(l, r).alias("syms"), "n"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_df(spark, merges) -> DataFrame:
+    return spark.createDataFrame(
+        merges,
+        "merge_rank: int, left_sym: string, right_sym: string, pair_count: bigint",
+    )
+
+
+def train_bpe_local(texts, n_merges: int = 24):
+    """Independent plain-Python re-derivation of the same spec (used to
+    bake the contract oracle; also the differential test arbiter).
+    Deliberately a different implementation strategy: dict-of-tuples
+    vocab + Counter pair stats, not array folds."""
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        t = t.strip()
+        if not t:
+            continue
+        for w in t.split():
+            vocab[tuple(list(w) + [_EOW])] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        stats: Counter = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += n
+        if not stats:
+            break
+        (l, r), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, int(cnt)))
+        new_vocab: Counter = Counter()
+        for syms, n in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    return merges
