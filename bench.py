@@ -149,6 +149,8 @@ def main() -> None:
     timed("language_rebalance",
           lambda: q["language_rebalance"](spark, sf_dir).count())
     timed("bpe_merges", lambda: q["bpe_merges"](spark, sf_dir).count())
+    timed("exact_substring_dedup",
+          lambda: q["exact_substring_dedup"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

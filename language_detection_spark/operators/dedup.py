@@ -1231,3 +1231,137 @@ def incremental_near_dups(
         .select("id_new", "id_old", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold_est)
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public paper): any
+    ``k``-token window whose exact text occurs more than once in the
+    WHOLE CORPUS is removed from every occurrence except the canonical
+    first (minimal (doc, pos)); overlapping removed windows within a
+    document merge into maximal spans (so a long duplicated passage is
+    excised once, not per-window), and the document is rebuilt from its
+    surviving tokens.  This is the token-interval refinement of
+    ``passage_dedup``: sliding overlapping windows instead of disjoint
+    blocks, and sub-document span removal instead of block dropping.
+
+    Returns one row per input document:
+    ``(id, n_windows, n_dup_windows, n_tokens_removed, text_dedup)``
+    (``text_dedup`` = single-space-joined surviving tokens; ``''`` when
+    everything was removed or the doc was blank).
+
+    Scale shape: windows are map-side expressions; the duplicate decision
+    is ONE partial-aggregating groupBy keyed by the window STRING itself
+    (exact-match semantics, no hash-collision caveat — the paper's
+    suffix-array machinery exists to make this cheap on one machine; the
+    distributed shuffle-on-key form is linear and embarrassingly
+    parallel, with ~k-word keys the bounded shuffle-row cost).  Interval
+    merging is a per-document window (documents are bounded, the corpus
+    never sorts globally), and the rebuild joins the token stream against
+    the per-doc merged spans — an equi-join on doc id with a range
+    residual.  No driver-side state at any point.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    empty_w = F.array().cast("array<string>")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, empty_w)
+        .otherwise(words).alias("words"),
+    )
+    n = F.size("words")
+    occ = (
+        base.select(
+            "_id",
+            "words",
+            F.explode(
+                F.when(
+                    n >= k, F.sequence(F.lit(0), n - k)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select(
+            "_id",
+            "pos",
+            F.concat_ws(
+                " ", F.slice(F.col("words"), F.col("pos") + 1, k)
+            ).alias("win"),
+        )
+    )
+    stats = occ.groupBy("win").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("_id", "pos")).alias("first"),
+    )
+    dup = (
+        occ.join(stats, "win")
+        .filter(
+            (F.col("cnt") > 1)
+            & ~(
+                (F.col("_id") == F.col("first._id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("_id", "pos")
+    )
+    wdoc = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dup.withColumn(
+            "brk",
+            F.when(
+                prev_end.isNull() | (F.col("pos") >= prev_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    intervals = islands.groupBy("_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k).alias("e")
+    )
+    toks = base.select(
+        "_id", F.posexplode("words").alias("idx", "w")
+    )
+    kept = toks.alias("t").join(
+        intervals.alias("iv"),
+        (F.col("t._id") == F.col("iv._id"))
+        & (F.col("t.idx") >= F.col("iv.s"))
+        & (F.col("t.idx") < F.col("iv.e")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    n_win = occ.groupBy("_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    n_dup = dup.groupBy("_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    return (
+        base.select("_id", n.cast("bigint").alias("_n_tokens"))
+        .join(n_win, "_id", "left")
+        .join(n_dup, "_id", "left")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint")
+            .alias("n_dup_windows"),
+            (F.col("_n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("bigint").alias("n_tokens_removed"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
