@@ -151,6 +151,8 @@ def main() -> None:
     timed("bpe_merges", lambda: q["bpe_merges"](spark, sf_dir).count())
     timed("exact_substring_dedup",
           lambda: q["exact_substring_dedup"](spark, sf_dir).count())
+    timed("packed_documents",
+          lambda: q["packed_documents"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))
