@@ -76,3 +76,36 @@ def test_ffd_is_first_fit_decreasing(spark):
     out = {r.doc_id: r.bin_id for r in pack_documents(
         _df(spark, rows), seq_len=10, n_shards=1).collect()}
     assert out == {0: 0, 3: 0, 1: 1, 2: 1, 4: 2}
+
+
+def test_run_packing_job_end_to_end(spark, tmp_path):
+    import json
+    import sys
+    from io import StringIO
+
+    sys.path.insert(0, "jobs")
+    import run_packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(1 + i % 30))) for i in range(100)],
+        "doc_id: long, text: string",
+    )
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    for mode, unit in (("chunk", "n_sequences"), ("ffd", "n_bins")):
+        out = str(tmp_path / f"out_{mode}")
+        buf, old = StringIO(), sys.stdout
+        sys.stdout = buf
+        try:
+            rc = run_packing.main(
+                ["--input", inp, "--output", out, "--mode", mode,
+                 "--seq-len", "64", "--n-shards", "4"]
+            )
+        finally:
+            sys.stdout = old
+        assert rc == 0
+        summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert summary[unit] > 0 and 0 < summary["fill_factor"] <= 1
+        written = spark.read.parquet(out)
+        assert written.count() == summary["rows"] > 0
+        assert "shard" in written.columns  # partitioned layout round-trips
