@@ -1325,43 +1325,38 @@ def exact_substring_dedup(
             ),
         )
     )
-    intervals = islands.groupBy("_id", "island").agg(
-        F.min("pos").alias("s"), (F.max("pos") + k).alias("e")
-    )
-    toks = base.select(
-        "_id", F.posexplode("words").alias("idx", "w")
-    )
-    kept = toks.alias("t").join(
-        intervals.alias("iv"),
-        (F.col("t._id") == F.col("iv._id"))
-        & (F.col("t.idx") >= F.col("iv.s"))
-        & (F.col("t.idx") < F.col("iv.e")),
-        "left_anti",
-    )
-    rebuilt = kept.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "w"))),
-                lambda x: x["w"],
-            ),
-            " ",
-        ).alias("text_dedup"),
+    # per-doc merged spans collected to a SMALL array (spans ≪ tokens) so
+    # the rebuild never shuffles the token stream: one join back to the
+    # docs, then a pure JVM higher-order filter (index-aware lambda) over
+    # the words array — no posexplode, no range join, no re-sort
+    intervals = (
+        islands.groupBy("_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+        .groupBy("_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
     )
     n_win = occ.groupBy("_id").agg(F.count(F.lit(1)).alias("n_windows"))
     n_dup = dup.groupBy("_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    ivs = F.coalesce(
+        F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept_words = F.filter(
+        F.col("words"),
+        lambda w, i: ~F.exists(
+            ivs, lambda iv: (i >= iv["s"]) & (i < iv["e"].cast("int"))
+        ),
+    )
     return (
-        base.select("_id", n.cast("bigint").alias("_n_tokens"))
-        .join(n_win, "_id", "left")
+        base.join(n_win, "_id", "left")
         .join(n_dup, "_id", "left")
-        .join(rebuilt, "_id", "left")
+        .join(intervals, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
             F.coalesce("n_dup_windows", F.lit(0)).cast("bigint")
             .alias("n_dup_windows"),
-            (F.col("_n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            (F.size("words") - F.size(kept_words))
             .cast("bigint").alias("n_tokens_removed"),
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.array_join(kept_words, " ").alias("text_dedup"),
         )
     )
