@@ -337,6 +337,37 @@ def main() -> int:
         }
     )
 
+    # ExactSubstr hot-span leg: every sliding 8-token window of the
+    # boilerplate template occurs boiler_n times corpus-wide — the
+    # window-string groupBy's hottest key.  The decision side partial-aggs
+    # (count+min absorb the hot key map-side); the occ⨝stats rejoin leans
+    # on AQE skew-split; the rebuild is the shuffle-free HOF filter.
+    # Exactness: every boilerplate doc but the canonical owner (doc 0)
+    # must be fully excised.
+    from language_detection_spark.operators.dedup import exact_substring_dedup
+
+    t0 = time.time()
+    xs_out = exact_substring_dedup(pslice, k=8).persist()
+    xs_n = xs_out.count()
+    xs_emptied = xs_out.filter(
+        (F.col("doc_id") < boiler_n) & (F.col("text_dedup") == "")
+    ).count()
+    xs_wall = time.time() - t0
+    xs_out.unpersist()
+    release_tracked_caches()
+    legs.append(
+        {
+            "leg": "exact_substring_hot_span",
+            "docs": slice_n,
+            "hot_window_occurrences": boiler_n,
+            "wall_sec": round(xs_wall, 2),
+            "docs_per_sec": round(slice_n / xs_wall, 1),
+            "rows_out": xs_n,
+            "boiler_docs_fully_excised": xs_emptied,
+            "boiler_excision_exact": xs_emptied == boiler_n - 1,
+        }
+    )
+
     deduped.unpersist()
     out = {
         "note": (

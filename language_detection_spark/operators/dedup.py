@@ -1296,17 +1296,25 @@ def exact_substring_dedup(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("_id", "pos")).alias("first"),
     )
-    dup = (
-        occ.join(stats, "win")
-        .filter(
+    # one pass over the joined occurrences yields BOTH per-doc counters
+    # (window total + dup total) and the dup row set for interval merging
+    # — no second aggregation over the corpus-scale occurrence stream
+    marked = occ.join(stats, "win").select(
+        "_id",
+        "pos",
+        (
             (F.col("cnt") > 1)
             & ~(
                 (F.col("_id") == F.col("first._id"))
                 & (F.col("pos") == F.col("first.pos"))
             )
-        )
-        .select("_id", "pos")
+        ).alias("is_dup"),
     )
+    counts = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("is_dup").cast("int")).alias("n_dup_windows"),
+    )
+    dup = marked.filter("is_dup").select("_id", "pos")
     wdoc = Window.partitionBy("_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
         wdoc.rowsBetween(Window.unboundedPreceding, -1)
@@ -1335,8 +1343,6 @@ def exact_substring_dedup(
         .groupBy("_id")
         .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
     )
-    n_win = occ.groupBy("_id").agg(F.count(F.lit(1)).alias("n_windows"))
-    n_dup = dup.groupBy("_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
     ivs = F.coalesce(
         F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>")
     )
@@ -1347,8 +1353,7 @@ def exact_substring_dedup(
         ),
     )
     return (
-        base.join(n_win, "_id", "left")
-        .join(n_dup, "_id", "left")
+        base.join(counts, "_id", "left")
         .join(intervals, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
