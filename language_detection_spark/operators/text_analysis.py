@@ -605,3 +605,137 @@ def language_rebalance(
         .filter(F.col("sample_bucket") < F.col("rate_ppm"))
         .select(id_col, lang_col, "rate_ppm", "sample_bucket")
     )
+
+
+
+def chunk_text(
+    df,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Overlapping token-window chunking — the RAG/embedding-ingestion
+    step: split every document into ``chunk_tokens``-token windows that
+    advance by ``stride`` tokens, so consecutive chunks share
+    ``chunk_tokens - stride`` tokens of context.  A document with at most
+    ``chunk_tokens`` tokens yields exactly one chunk; otherwise
+    ``1 + ceil((n - chunk_tokens) / stride)`` chunks, the last possibly
+    short.  Zero-token documents yield no chunks.
+
+    Returns one row per chunk:
+    ``(id, chunk_idx, tok_start, n_chunk_tokens, chunk)``.
+
+    Pure JVM expressions — token split, integer ceil via ``DIV`` (exact
+    at any corpus size, no float binning), explode, slice; map-side only,
+    zero shuffle; deterministic and independently re-derivable.
+    """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = whitespace_token_count(F.col(text_col)).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words.alias("_w"), n.alias("_n")
+    )
+    n_chunks = (
+        F.when(F.col("_n") < 1, F.lit(0).cast("bigint"))
+        .when(F.col("_n") <= chunk_tokens, F.lit(1).cast("bigint"))
+        .otherwise(
+            F.lit(1)
+            + F.expr(f"(_n - {chunk_tokens} + {stride - 1}) DIV {stride}")
+        )
+    )
+    exploded = base.select(
+        "doc_id",
+        "_w",
+        "_n",
+        F.explode(
+            F.when(
+                n_chunks < 1, F.array().cast("array<bigint>")
+            ).otherwise(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+        ).alias("chunk_idx"),
+    ).withColumn("tok_start", F.col("chunk_idx") * stride)
+    return exploded.select(
+        F.col("doc_id").alias(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("tok_start").cast("bigint").alias("tok_start"),
+        F.least(F.col("_n") - F.col("tok_start"), F.lit(chunk_tokens).cast("bigint"))
+        .cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(F.col("_w"), (F.col("tok_start") + 1).cast("int"), chunk_tokens),
+        ).alias("chunk"),
+    )
+
+
+def tfidf_top_terms(
+    df,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document top-``k`` terms by TF-IDF (classic smooth variant:
+    ``idf = ln((N+1)/(df+1)) + 1`` with N = docs with ≥1 token, df =
+    docs containing the term) — the keyword-extraction / indexing step of
+    an analytics pipeline.
+
+    Cross-engine exactness discipline: the ranking score is
+    ``score_micro = tf · round(idf · 10^6)`` — a 64-bit INTEGER — so the
+    per-doc ordering (score desc, term asc) is bit-identical in any
+    engine; float idf never participates in a comparison.
+
+    Scale shape: term frequencies are one partial-aggregating groupBy on
+    (doc, term); document frequencies reduce that SAME table by term.
+    The tf⨝df join is term-keyed — left to Catalyst/AQE, which
+    broadcasts when the vocabulary is small and shuffle-joins when it
+    isn't (a web-scale term table is NOT broadcastable, so it must not
+    be forced).  N is a 1-row broadcast; the top-k window partitions by
+    doc id — bounded by per-doc vocabulary, never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0,
+                F.array().cast("array<string>"),
+            ).otherwise(words)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf_micro",
+            F.round(
+                (F.log((F.col("n_corpus") + 1) / (F.col("df") + 1)) + 1)
+                * 1_000_000
+            ).cast("bigint"),
+        )
+        .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc_id").alias(id_col),
+            "term",
+            "tf",
+            "score_micro",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
