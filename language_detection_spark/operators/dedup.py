@@ -1365,3 +1365,133 @@ def exact_substring_dedup(
             F.array_join(kept_words, " ").alias("text_dedup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup (Dolma-style)
+# ---------------------------------------------------------------------------
+# Public technique: the Dolma toolkit (Soldaini et al. 2024) deduplicates
+# web text against a Bloom filter of previously-seen content; positions
+# use Kirsch–Mitzenmacher double hashing (2006), pos_i = h1 + i·h2 (mod m).
+# Spark-first shape: the filter is a TABLE of (shard, bloom_bytes) rows —
+# each shard a bitmap built from its keys' hashes by one applyInPandas
+# task (only 16-byte hash rows shuffle, never documents); the probe joins
+# incoming keys to their shard's bitmap (broadcast while the filter fits,
+# shard-keyed shuffle join beyond that) and tests all k bits in one
+# Arrow-batched numpy pass.  Sizing at 10^10 docs: n_shards scales so a
+# shard's m/8 bytes fits an executor; build is one corpus pass, probe is
+# map-side — zero corpus-scale shuffle.
+
+BLOOM_SCHEMA = "shard int, bloom binary, n_keys bigint"
+
+
+def _bloom_hash_cols(key: Column) -> tuple[Column, Column]:
+    """(h1, h2): two independent 60-bit non-negative integers from one
+    md5 — the same `('0x'||substr(md5(x),…))::BIGINT` construction the
+    DuckDB oracles reproduce bit-for-bit."""
+    d = F.md5(key)
+    h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(d, 17, 15), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def _bloom_keyed(df: DataFrame, key_col: str, m_bits: int, n_shards: int,
+                 keep: list[str]) -> DataFrame:
+    h1, h2 = _bloom_hash_cols(F.col(key_col))
+    return df.select(
+        *keep,
+        (h2 % n_shards).cast("int").alias("shard"),
+        (h1 % m_bits).alias("h1m"),
+        (h2 % m_bits).alias("h2m"),
+    )
+
+
+def build_bloom_filter(
+    df: DataFrame,
+    key_col: str = "text",
+    m_bits: int = 1 << 18,
+    k_hashes: int = 5,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Build the sharded Bloom filter table ``(shard, bloom, n_keys)``.
+
+    ``m_bits`` is PER SHARD; bit positions are ``(h1m + i·h2m) mod m``
+    with i < k — all arithmetic stays far under 2^63 because both terms
+    are first reduced mod m.  Each shard's bitmap is packed LSB-first
+    (numpy ``packbits(bitorder='little')``) so probe-side byte/bit math
+    is ``pos >> 3`` / ``pos & 7``."""
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    keyed = _bloom_keyed(df, key_col, m_bits, n_shards, keep=[])
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        h1m = pdf["h1m"].to_numpy(np.int64)
+        h2m = pdf["h2m"].to_numpy(np.int64)
+        bits = np.zeros(m_bits, dtype=bool)
+        for i in range(k_hashes):
+            bits[(h1m + i * h2m) % m_bits] = True
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "bloom": [np.packbits(bits, bitorder="little").tobytes()],
+                "n_keys": [len(pdf)],
+            }
+        )
+
+    return keyed.groupBy("shard").applyInPandas(_build, BLOOM_SCHEMA)
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "text",
+    m_bits: int = 1 << 18,
+    k_hashes: int = 5,
+    n_shards: int = 8,
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """Adds ``possibly_seen`` to ``df``: True iff every one of the key's
+    k bit positions is set in its shard's bitmap.  Exact Bloom
+    semantics: no false negatives ever; false positives are a sizing
+    choice — and because positions are pure md5 integer arithmetic, even
+    the false positives are deterministic and engine-independent (the
+    contract oracle re-derives them in SQL from the positions set).
+
+    ``broadcast_filter`` holds while n_shards·m_bits/8 fits the driver;
+    beyond that the shard-keyed shuffle join co-locates probes with their
+    bitmap row."""
+    keyed = _bloom_keyed(df, key_col, m_bits, n_shards, keep=list(df.columns))
+    filt = F.broadcast(bloom) if broadcast_filter else bloom
+    joined = keyed.join(filt.select("shard", "bloom"), "shard", "left")
+    out_cols = list(df.columns) + ["possibly_seen"]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", possibly_seen boolean"
+
+    def _probe(batches):
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            n = len(pdf)
+            seen = np.zeros(n, dtype=bool)
+            if n:
+                h1m = pdf["h1m"].to_numpy(np.int64)
+                h2m = pdf["h2m"].to_numpy(np.int64)
+                blooms = pdf["bloom"]
+                # group rows by shard so each bitmap materializes once
+                for _, idx in pdf.groupby("shard").groups.items():
+                    ix = np.asarray(idx)
+                    raw = blooms.iloc[ix[0]]
+                    if raw is None:  # shard never built → nothing seen
+                        continue
+                    bm = np.frombuffer(raw, dtype=np.uint8)
+                    ok = np.ones(len(ix), dtype=bool)
+                    for i in range(k_hashes):
+                        pos = (h1m[ix] + i * h2m[ix]) % m_bits
+                        ok &= ((bm[pos >> 3] >> (pos & 7)) & 1).astype(bool)
+                    seen[ix] = ok
+            out = pdf[[c for c in out_cols if c in pdf.columns]].copy()
+            out["possibly_seen"] = seen
+            yield out
+
+    return joined.mapInPandas(_probe, schema)

@@ -128,6 +128,103 @@ def bpe_merges_df(spark, merges) -> DataFrame:
     )
 
 
+def encode_vocab_bpe(
+    vocab: DataFrame,
+    merges,
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Apply a learned merge table to a ``(word, …)`` vocabulary table →
+    adds ``n_tokens`` (symbols after all merges, incl. the ``</w>``
+    marker fused into its word-final symbol like training does).
+
+    Merges apply in rank order, each as the same pure-JVM greedy
+    left-to-right fold the trainer uses; the symbol column is
+    ``localCheckpoint``-ed every ``checkpoint_every`` merges so a long
+    merge table never stacks an unbounded expression tree.  The input is
+    the DISTINCT word table — Zipf makes it orders of magnitude smaller
+    than the corpus, so encoding cost is vocabulary-sized, not
+    corpus-sized."""
+    enc = vocab.withColumn("syms", _initial_symbols(F.col("word")))
+    for j, (_rank, l, r, _cnt) in enumerate(
+        sorted(merges, key=lambda m: m[0]), start=1
+    ):
+        enc = enc.withColumn("syms", _merge_expr(l, r))
+        if j % checkpoint_every == 0:
+            enc = enc.localCheckpoint(eager=True)
+    return enc.withColumn("n_tokens", F.size("syms").cast("bigint"))
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token accounting under a trained merge table —
+    the token-budget pass that feeds sequence packing and mixture math:
+    ``(id, n_words, n_bpe_tokens, n_chars)``.
+
+    Scale shape: per-word token counts are computed ONCE on the distinct
+    word table (`encode_vocab_bpe`); the corpus-scale side is one
+    explode + a term-keyed join (left to Catalyst/AQE — a web-scale
+    vocabulary must not be force-broadcast) + one partial-agg groupBy on
+    the document id.  Documents with no tokens surface with zero counts
+    (left join from the doc list), mirroring explode-drop semantics
+    downstream engines trip on."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0,
+                F.array().cast("array<string>"),
+            ).otherwise(words)
+        ).alias("word"),
+    )
+    per_word = encode_vocab_bpe(
+        toks.select("word").distinct(), merges
+    ).select("word", "n_tokens")
+    per_doc = (
+        toks.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+            "n_chars",
+        )
+    )
+
+
+def encode_word_local(word: str, merges) -> list[str]:
+    """Plain-Python greedy encode of one word under a merge table (rank
+    order), for the oracle baker and differential tests — independent of
+    the JVM fold."""
+    syms = list(word) + [_EOW]
+    for _rank, l, r, _cnt in sorted(merges, key=lambda m: m[0]):
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
 def train_bpe_local(texts, n_merges: int = 24):
     """Independent plain-Python re-derivation of the same spec (used to
     bake the contract oracle; also the differential test arbiter).
