@@ -153,6 +153,12 @@ def main() -> None:
           lambda: q["exact_substring_dedup"](spark, sf_dir).count())
     timed("packed_documents",
           lambda: q["packed_documents"](spark, sf_dir).count())
+    timed("text_chunks", lambda: q["text_chunks"](spark, sf_dir).count())
+    timed("tfidf_top_terms",
+          lambda: q["tfidf_top_terms"](spark, sf_dir).count())
+    timed("bloom_dedup", lambda: q["bloom_dedup"](spark, sf_dir).count())
+    timed("bpe_token_stats",
+          lambda: q["bpe_token_stats"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

@@ -15,7 +15,7 @@ Language Models Better") expressed Spark-first:
   candidate pairs.
 * simhash64 — 64-bit sign-aggregated token fingerprint (Arrow-batched
   numpy UDF; Hamming-ball grouping for near-dup).
-* ngram_jaccard_pairs — exact word-n-gram Jaccard for candidate pairs.
+* jaccard_for_pairs — exact word-n-gram Jaccard for candidate pairs.
 * connected_components / near_dup_clusters — alternating large-star/
   small-star (Kiveris et al. 2014) turning the pair graph into canonical
   duplicate clusters; O(log² n) rounds regardless of diameter.

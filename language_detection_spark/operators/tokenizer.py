@@ -105,13 +105,24 @@ def train_bpe_merges(
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
+        # argmax with (cnt desc, l asc, r asc) tie-break as ONE partial+
+        # final aggregation — min of struct(-cnt, l, r) — instead of a
+        # global sort: no range-partitioning exchange, one 1-row collect
         best = (
             _pair_counts(vocab)
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg"),
+                        F.col("l"),
+                        F.col("r"),
+                    )
+                ).alias("b")
+            )
+            .select("b.l", "b.r", (-F.col("b.neg")).alias("cnt"))
             .collect()
         )
-        if not best:
+        if not best or best[0].l is None:
             break
         l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
         merges.append((rank, l, r, cnt))
