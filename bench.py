@@ -159,6 +159,9 @@ def main() -> None:
     timed("bloom_dedup", lambda: q["bloom_dedup"](spark, sf_dir).count())
     timed("bpe_token_stats",
           lambda: q["bpe_token_stats"](spark, sf_dir).count())
+    timed("nb_quality", lambda: q["nb_quality_scores"](spark, sf_dir).count())
+    timed("c4_line_filter",
+          lambda: q["c4_line_filter"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))
