@@ -162,6 +162,8 @@ def main() -> None:
     timed("nb_quality", lambda: q["nb_quality_scores"](spark, sf_dir).count())
     timed("c4_line_filter",
           lambda: q["c4_line_filter"](spark, sf_dir).count())
+    timed("warc_roundtrip",
+          lambda: q["warc_roundtrip_docs"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))
