@@ -164,6 +164,8 @@ def main() -> None:
           lambda: q["c4_line_filter"](spark, sf_dir).count())
     timed("warc_roundtrip",
           lambda: q["warc_roundtrip_docs"](spark, sf_dir).count())
+    timed("url_filter", lambda: q["url_filtered_docs"](spark, sf_dir).count())
+    timed("word_lm", lambda: q["word_lm_scores"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))
