@@ -166,6 +166,8 @@ def main() -> None:
           lambda: q["warc_roundtrip_docs"](spark, sf_dir).count())
     timed("url_filter", lambda: q["url_filtered_docs"](spark, sf_dir).count())
     timed("word_lm", lambda: q["word_lm_scores"](spark, sf_dir).count())
+    timed("link_stats", lambda: q["domain_link_stats"](spark, sf_dir).count())
+    timed("pagerank", lambda: q["domain_pagerank"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))
