@@ -168,6 +168,8 @@ def main() -> None:
     timed("word_lm", lambda: q["word_lm_scores"](spark, sf_dir).count())
     timed("link_stats", lambda: q["domain_link_stats"](spark, sf_dir).count())
     timed("pagerank", lambda: q["domain_pagerank"](spark, sf_dir).count())
+    timed("latest_snapshots",
+          lambda: q["latest_snapshots"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

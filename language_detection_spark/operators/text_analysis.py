@@ -451,6 +451,39 @@ def url_dup_groups(df, url_col: str = "url",
     )
 
 
+def latest_snapshot(df, url_col: str = "url", ts_col: str = "warc_ts",
+                    id_col: str = "doc_id",
+                    tracking_params: tuple[str, ...] | None = None):
+    """Re-crawl collapse: keep only the NEWEST capture of each canonical
+    URL — the standard first reduction when ingesting overlapping crawl
+    snapshots (CommonCrawl publishes the same URL across monthly dumps;
+    training pipelines keep one).
+
+    Output: ``(canonical_url, n_snapshots, latest_doc_id, latest_ts)``.
+    Winner = lexicographic max of (ts, doc_id) — the doc_id tie-break
+    makes the choice deterministic when two captures share a timestamp.
+
+    Scale shape (10^12 rows): one partial-aggregating groupBy keyed by
+    the canonical string via ``max(struct(ts, id))`` — map-side combine,
+    no window, no second pass.
+    """
+    canon = df.select(
+        canonical_url(F.col(url_col), tracking_params).alias("canonical_url"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    agg = canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_snapshots"),
+        F.max(F.struct(F.col("_ts"), F.col("_id"))).alias("_w"),
+    )
+    return agg.select(
+        "canonical_url",
+        "n_snapshots",
+        F.col("_w._id").alias("latest_doc_id"),
+        F.col("_w._ts").alias("latest_ts"),
+    )
+
+
 def dsir_scores(
     docs,
     target_sources: tuple[str, ...] = ("src0", "src1", "src2"),
