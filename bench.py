@@ -170,6 +170,7 @@ def main() -> None:
     timed("pagerank", lambda: q["domain_pagerank"](spark, sf_dir).count())
     timed("latest_snapshots",
           lambda: q["latest_snapshots"](spark, sf_dir).count())
+    timed("boilerplate", lambda: q["boilerplate_blocks"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))
