@@ -171,6 +171,8 @@ def main() -> None:
     timed("latest_snapshots",
           lambda: q["latest_snapshots"](spark, sf_dir).count())
     timed("boilerplate", lambda: q["boilerplate_blocks"](spark, sf_dir).count())
+    timed("page_directives",
+          lambda: q["page_directives"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

@@ -155,6 +155,90 @@ def url_filter(
     )
 
 
+#: Attribute order in html is free — match both (name then content,
+#: content then name).
+_ROBOTS_META_RE = r'(?is)<meta[^>]*name="robots"[^>]*content="([^"]*)"'
+_ROBOTS_META_RE2 = r'(?is)<meta[^>]*content="([^"]*)"[^>]*name="robots"'
+_CANONICAL_LINK_RE = r'(?is)<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
+
+
+def page_directives(
+    pages: DataFrame, id_col: str = "doc_id",
+    url_col: str = "url", html_col: str = "html",
+) -> DataFrame:
+    """Crawl-policy directives a compliant corpus builder must honor
+    (REP meta tags per RFC 9309 practice + rel=canonical): output
+    ``(doc_id, url, noindex, nofollow, canonical_href, canonical_self,
+    keep_page)``.
+
+    * ``noindex`` pages must not enter the corpus (keep_page false).
+    * ``nofollow`` pages contribute no outlinks (consumed by the link
+      graph, reported here).
+    * ``canonical_href`` ('' when absent) + ``canonical_self``: a page
+      whose canonical points elsewhere is a duplicate by declaration —
+      downstream dedup keys on the canonical target instead.
+
+    Pure regexp/codegen expressions — zero shuffle, zero Python.
+    """
+    html_str = F.col(html_col).cast("string")
+    r1 = F.regexp_extract(html_str, _ROBOTS_META_RE, 1)
+    r2 = F.regexp_extract(html_str, _ROBOTS_META_RE2, 1)
+    robots = F.lower(F.when(r1 != "", r1).otherwise(r2))
+    canonical = F.regexp_extract(html_str, _CANONICAL_LINK_RE, 1)
+    noindex = robots.contains("noindex")
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        noindex.alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+        canonical.alias("canonical_href"),
+        ((canonical == "") | (canonical == F.col(url_col))).alias(
+            "canonical_self"
+        ),
+        (~noindex).alias("keep_page"),
+    )
+
+
+def synth_directive_pages(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fixture: pages cycling through robots-meta
+    variants (none / index,follow / noindex / nofollow /
+    noindex,nofollow with swapped attribute order) and canonical-link
+    variants (absent / self / elsewhere)."""
+    doc_id = F.col(id_col)
+    url = F.concat(
+        F.lit("https://example.com/page/"),
+        F.pmod(doc_id, F.lit(60)).cast("string"),
+    )
+    m = F.pmod(doc_id, F.lit(5))
+    meta = (
+        F.when(m == 0, F.lit(""))
+        .when(m == 1, F.lit('<meta name="robots" content="index,follow">'))
+        .when(m == 2, F.lit('<meta name="robots" content="NOINDEX">'))
+        .when(m == 3, F.lit('<meta name="robots" content="nofollow">'))
+        .otherwise(
+            F.lit('<meta content="noindex, nofollow" name="robots">')
+        )
+    )
+    c = F.pmod(doc_id, F.lit(3))
+    link = (
+        F.when(c == 0, F.lit(""))
+        .when(c == 1, F.concat(F.lit('<link rel="canonical" href="'),
+                               url, F.lit('">')))
+        .otherwise(F.concat(
+            F.lit('<link rel="canonical" href="https://example.com/page/'),
+            F.pmod(doc_id, F.lit(7)).cast("string"), F.lit('">')))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta, link,
+        F.lit("</head><body>content</body></html>"),
+    )
+    return df.select(
+        doc_id.alias("doc_id"), url.alias("url"), html.alias("html")
+    )
+
+
 def synth_crawl_urls(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -113,3 +113,30 @@ def test_synth_urls_cover_every_rule(spark):  # noqa: F811
     assert 0 < r["blocked_domain"] < 2310
     assert 0 < r["resource_url"] < 2310
     assert 0 < r["keep_url"] < 2310
+
+
+def test_page_directives_variants(spark):  # noqa: F811
+    from language_detection_spark.operators.url_filter import (
+        page_directives,
+        synth_directive_pages,
+    )
+
+    pages = synth_directive_pages(
+        spark.range(15).withColumnRenamed("id", "doc_id")
+    )
+    rows = {r["doc_id"]: r for r in page_directives(pages).collect()}
+    assert not rows[0]["noindex"] and rows[0]["keep_page"]
+    assert not rows[1]["noindex"]  # index,follow
+    assert rows[2]["noindex"] and not rows[2]["keep_page"]  # NOINDEX upper
+    assert rows[3]["nofollow"] and rows[3]["keep_page"]
+    # swapped attribute order still parsed
+    assert rows[4]["noindex"] and rows[4]["nofollow"]
+    # canonical: absent -> self; matching -> self; elsewhere -> not self
+    assert rows[0]["canonical_self"] and rows[0]["canonical_href"] == ""
+    assert rows[1]["canonical_self"]
+    assert rows[1]["canonical_href"].endswith("/page/1")
+    # doc 5's canonical target (5 % 7) coincides with its own slot -> self
+    assert rows[5]["canonical_self"]
+    # doc 8 points at page/1 while living at page/8 -> declared duplicate
+    assert not rows[8]["canonical_self"]
+    assert rows[8]["canonical_href"].endswith("/page/1")
