@@ -173,6 +173,8 @@ def main() -> None:
     timed("boilerplate", lambda: q["boilerplate_blocks"](spark, sf_dir).count())
     timed("page_directives",
           lambda: q["page_directives"](spark, sf_dir).count())
+    timed("image_near_dups",
+          lambda: q["image_near_dups"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

@@ -473,6 +473,7 @@ def simhash_pairs_from_hashes(
     n_tables: int | None = None,
     max_bucket_size: int | None = 1000,
     key_chunks: int = 1,
+    bits: int = _SIMHASH_BITS,
 ) -> DataFrame:
     """Blocked near-dup join over precomputed (id, sh) SimHash rows — see
     simhash_near_dup_pairs for the recall guarantee.
@@ -487,7 +488,10 @@ def simhash_pairs_from_hashes(
     tables of ~6-bit keys (buckets hold corpus/64 — cap-prone); m=2 → 45
     tables of ~12-bit keys → expected candidate volume shrinks by
     (45/2^12)/(9/2^6) ≈ 13x on hash-random corpora.  m=1 is the round-2
-    design and stays the default (optimal at small corpora)."""
+    design and stays the default (optimal at small corpora).
+
+    ``bits`` is the hash width the disjoint chunks cover: 60 for the text
+    SimHash (md5-derived), 64 for image perceptual hashes (image_dhash)."""
     if key_chunks < 1:
         raise ValueError("key_chunks must be >= 1")
     if n_tables is not None and key_chunks > 1:
@@ -503,7 +507,7 @@ def simhash_pairs_from_hashes(
         )
     k = (n_tables if (n_tables is not None and key_chunks == 1)
          else max_hamming + key_chunks)
-    chunks = _simhash_chunks(k)
+    chunks = _simhash_chunks(k, bits=bits)
     if key_chunks == 1:
         combos = [(i,) for i in range(k)]
     else:

@@ -537,3 +537,181 @@ def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("media_id", "kind", payload_col).mapInPandas(
         _probe, schema=out_schema
     )
+
+
+# --------------------------------------------------------------------------
+# Image perceptual-hash dedup (dHash): find visually-identical / near-
+# identical images across DIFFERENT encodings and small edits — the image
+# analogue of text SimHash.  Byte-level (exact) dedup misses a BMP and a
+# PNG of the same picture; a 64-bit difference hash over decoded pixels
+# keys both to the same value.  Spec (integer-exact so independent
+# implementations agree bit-for-bit):
+#
+#   luma(r,g,b) = (299*r + 587*g + 114*b) // 1000          (ITU-R 601 int)
+#   cell(i,j)   = sum(luma[i*H//8:(i+1)*H//8, j*W//9:(j+1)*W//9]) // count
+#                 over an 8-row x 9-col grid (floor boundaries, floor avg)
+#   bit i*8+j   = 1  iff  cell(i,j+1) > cell(i,j)    (i,j in 0..7, LSB up)
+#   dhash       = the 64 bits as a two's-complement int64
+#
+# Invariances that make it a DEDUP key: any constant brightness shift
+# (gradients unchanged), any lossless re-encode (BMP<->PNG<->GIF of the
+# same pixels), and resolution-preserving container churn all map to the
+# SAME hash; small local edits flip few bits (near-dup within a Hamming
+# radius).  Scale shape: hashing is one mapInPandas pass (no shuffle);
+# pairing reuses the Manku multi-chunk pigeonhole blocking from
+# operators/dedup.py with bits=64 — never all-pairs.
+# --------------------------------------------------------------------------
+
+
+def dhash_pixels(px: np.ndarray) -> int:
+    """64-bit dHash of an (H, W, 3) uint8 RGB array — vectorized
+    (integral-image cell sums), integer-exact per the module spec."""
+    h, w = px.shape[0], px.shape[1]
+    if h < 8 or w < 9:
+        raise ValueError(f"image too small for dHash grid: {h}x{w}")
+    p = px.astype(np.int64)
+    luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+    # integral image: cell sums for arbitrary floor-boundary grids
+    s = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(luma, axis=0), axis=1, out=s[1:, 1:])
+    rb = np.array([i * h // 8 for i in range(9)])          # row bounds
+    cb = np.array([j * w // 9 for j in range(10)])         # col bounds
+    cells = (
+        s[rb[1:, None], cb[None, 1:]]
+        - s[rb[:-1, None], cb[None, 1:]]
+        - s[rb[1:, None], cb[None, :-1]]
+        + s[rb[:-1, None], cb[None, :-1]]
+    )
+    counts = (rb[1:, None] - rb[:-1, None]) * (cb[None, 1:] - cb[None, :-1])
+    avg = cells // counts                                   # (8, 9)
+    bits = (avg[:, 1:] > avg[:, :-1]).ravel()               # (64,) row-major
+    val = int(
+        np.sum(
+            bits.astype(np.uint64)
+            << np.arange(64, dtype=np.uint64),
+            dtype=np.uint64,
+        )
+    )
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image perceptual hash: decode each payload with the native
+    codecs (BMP/PNG/GIF/PPM/JPEG — whatever the magic bytes say) and emit
+    ``(media_id, dhash)``.  One mapInPandas pass, partitioning preserved,
+    no shuffle; 8 bytes/image output regardless of image size."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                px = decode_media(raw, "image")
+                meta = codecs.probe_media(raw) or {}
+                hh, ww = meta.get("height"), meta.get("width")
+                if hh is None or ww is None:
+                    raise ValueError("payload is not a probe-able image")
+                px = px.reshape(hh, ww, -1)
+                if px.shape[2] == 1:
+                    px = np.repeat(px, 3, axis=2)
+                ids.append(int(mid))
+                hashes.append(dhash_pixels(px[:, :, :3]))
+            yield pd.DataFrame({"media_id": ids, "dhash": pd.array(
+                hashes, dtype="int64")})
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_go, "media_id long, dhash long")
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    key_chunks: int = 2,
+    max_bucket_size: int | None = 1000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image near-dup pairs ``(id_a, id_b, hamming)``: perceptual dHash
+    per image, then the Manku multi-chunk pigeonhole blocking
+    (operators/dedup.py, bits=64) — EXACT recall at the Hamming radius,
+    candidate volume ~ buckets not pairs.  Defaults: radius 6 with 2-chunk
+    keys → C(8,2)=28 tables of 16-bit keys."""
+    from .dedup import simhash_pairs_from_hashes
+
+    h = image_dhash(df, id_col=id_col, payload_col=payload_col).select(
+        F.col("media_id").alias("id"), F.col("dhash").alias("sh")
+    )
+    return simhash_pairs_from_hashes(
+        h, max_hamming=max_hamming, key_chunks=key_chunks,
+        max_bucket_size=max_bucket_size, bits=64,
+    )
+
+
+def synth_dup_image_pixels(
+    n: int, seed: int = 42
+) -> list[tuple[int, np.ndarray, str]]:
+    """Ground truth for the image-dedup fixture: ``n`` images in groups
+    of 4 — variant 0 = base (BMP), 1 = identical pixels re-encoded (PNG),
+    2 = base + constant brightness +12 (BMP; dHash-invariant by spec),
+    3 = base with sparse seeded noise (PNG; near but not identical).
+    Base pixels stay inside [42, 210] so no variant ever clips — every
+    transform is exactly the affine/sparse edit it claims to be.  The
+    picture is gradient + a coarse 10x12 seeded block pattern (texture
+    misaligned with the 8x9 hash grid, so cell averages vary
+    non-monotonically and the 64 hash bits carry signal).
+    Returns ``(media_id, pixels, format)`` with format in {bmp, png}."""
+    out: list[tuple[int, np.ndarray, str]] = []
+    for i in range(n):
+        g, v = divmod(i, 4)
+        rng = np.random.Generator(np.random.Philox(key=seed * 7_654_321 + g))
+        h, w = 24 + (g % 5) * 8, 32 + (g % 7) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = 96 + ((yy * 60) // max(h - 1, 1)
+                     + (xx * 60) // max(w - 1, 1)) // 2
+        coarse = rng.integers(-45, 46, size=(10, 12))
+        texture = coarse[yy * 10 // h, xx * 12 // w]
+        px = (
+            (base + texture)[..., None]
+            + rng.integers(-9, 10, size=(h, w, 3))
+        ).astype(np.uint8)
+        if v == 0:
+            out.append((i, px, "bmp"))
+        elif v == 1:
+            out.append((i, px.copy(), "png"))
+        elif v == 2:
+            out.append((i, (px.astype(np.int16) + 12).astype(np.uint8),
+                        "bmp"))
+        else:
+            rng2 = np.random.Generator(
+                np.random.Philox(key=seed * 9_999_991 + g)
+            )
+            mask = rng2.random(size=(h, w, 1)) < 0.08
+            noise = rng2.integers(-14, 15, size=(h, w, 3))
+            noised = (
+                px.astype(np.int16) + np.where(mask, noise, 0)
+            ).astype(np.uint8)
+            out.append((i, noised, "png"))
+    return out
+
+
+def synth_dup_images_df(
+    spark: SparkSession, n: int = 120, seed: int = 42
+) -> DataFrame:
+    """Deterministic image table with planted cross-encoding duplicates:
+    the ``synth_dup_image_pixels`` ground truth ENCODED (24-bit BMP /
+    8-bit PNG, real bytes) — the fixture the perceptual-dedup queries run
+    on.  Groups of 4 share a picture: two lossless encodings and a
+    brightness shift hash identically; a sparse-noise variant lands
+    nearby in Hamming space."""
+    from ..functions.codecs import encode_bmp, encode_png
+
+    rows = []
+    for i, px, fmt in synth_dup_image_pixels(n, seed):
+        payload = (encode_bmp(px) if fmt == "bmp"
+                   else encode_png(px, filter_type=(i // 4) % 5))
+        rows.append((i, "image", bytearray(payload),
+                     px.shape[1], px.shape[0], None, 1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
