@@ -175,6 +175,8 @@ def main() -> None:
           lambda: q["page_directives"](spark, sf_dir).count())
     timed("image_near_dups",
           lambda: q["image_near_dups"](spark, sf_dir).count())
+    timed("audio_near_dups",
+          lambda: q["audio_near_dups"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))

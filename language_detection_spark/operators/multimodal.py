@@ -715,3 +715,149 @@ def synth_dup_images_df(
         rows.append((i, "image", bytearray(payload),
                      px.shape[1], px.shape[0], None, 1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio perceptual-hash dedup: the audio analogue of image dHash.  A
+# corpus of crawled audio contains the SAME clip re-packaged — different
+# container header (sample-rate metadata churn), different gain (volume
+# normalization), light noise — which byte-level dedup misses.  Spec
+# (integer-exact on the decoded PCM16 samples):
+#
+#   window w of 65 equal floor-boundary windows over N samples:
+#       [w*N//65, (w+1)*N//65)
+#   A_w   = sum(|s_i|) // count(w)        (mean absolute amplitude, floor)
+#   bit w = 1  iff  A_{w+1} > A_w         (w in 0..63, LSB up)
+#   afp   = the 64 bits as a two's-complement int64
+#
+# The envelope SHAPE, not the level, carries the bits, so constant gain
+# changes flip (almost) nothing, container/rate metadata flips nothing
+# (samples untouched), and sparse noise flips few bits.  Pairing reuses
+# the same Manku bits=64 blocking as images.
+# --------------------------------------------------------------------------
+
+
+def audio_fingerprint_samples(samples: np.ndarray) -> int:
+    """64-bit energy-envelope fingerprint of int16 PCM samples —
+    vectorized (cumsum window sums), integer-exact per the module spec."""
+    n = int(samples.shape[0])
+    if n < 65:
+        raise ValueError(f"clip too short for fingerprint: {n} samples")
+    a = np.abs(samples.astype(np.int64))
+    c = np.concatenate(([0], np.cumsum(a)))
+    b = np.array([w * n // 65 for w in range(66)])
+    avg = (c[b[1:]] - c[b[:-1]]) // (b[1:] - b[:-1])
+    bits = avg[1:] > avg[:-1]
+    val = int(
+        np.sum(
+            bits.astype(np.uint64) << np.arange(64, dtype=np.uint64),
+            dtype=np.uint64,
+        )
+    )
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-clip fingerprint: decode each WAV payload and emit
+    ``(media_id, afp)``.  One mapInPandas pass, no shuffle, 8 bytes/clip
+    out regardless of duration."""
+    from ..functions.codecs import decode_wav
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, _rate = decode_wav(bytes(payload))
+                ids.append(int(mid))
+                fps.append(audio_fingerprint_samples(samples))
+            yield pd.DataFrame({"media_id": ids, "afp": pd.array(
+                fps, dtype="int64")})
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_go, "media_id long, afp long")
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    key_chunks: int = 2,
+    max_bucket_size: int | None = 1000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio near-dup pairs ``(id_a, id_b, hamming)`` — fingerprint per
+    clip, then the Manku multi-chunk blocking (bits=64, exact recall at
+    the Hamming radius); never all-pairs."""
+    from .dedup import simhash_pairs_from_hashes
+
+    h = audio_fingerprint(df, id_col=id_col, payload_col=payload_col).select(
+        F.col("media_id").alias("id"), F.col("afp").alias("sh")
+    )
+    return simhash_pairs_from_hashes(
+        h, max_hamming=max_hamming, key_chunks=key_chunks,
+        max_bucket_size=max_bucket_size, bits=64,
+    )
+
+
+def synth_dup_audio_samples(
+    n: int, seed: int = 42
+) -> list[tuple[int, np.ndarray, int]]:
+    """Ground truth for the audio-dedup fixture: ``n`` clips in groups
+    of 4 — variant 0 = base (16 kHz), 1 = identical samples with a
+    different header rate (22.05 kHz — metadata churn, fingerprint-
+    invariant), 2 = gain halved (``s // 2``; envelope shape preserved),
+    3 = sparse seeded noise.  The waveform is a sine carrier under a
+    coarse 12-step seeded amplitude envelope (misaligned with the 65
+    fingerprint windows so adjacent window averages vary
+    non-monotonically).  Returns ``(media_id, int16 samples, rate)``."""
+    out: list[tuple[int, np.ndarray, int]] = []
+    for i in range(n):
+        g, v = divmod(i, 4)
+        rng = np.random.Generator(np.random.Philox(key=seed * 5_000_011 + g))
+        length = 4096 + (g % 7) * 512
+        env = rng.integers(2_000, 18_001, size=12)
+        idx = np.arange(length)
+        amp = env[idx * 12 // length]
+        freq = 100.0 + 37.0 * (g % 20)
+        s = (amp * np.sin(2 * np.pi * freq * idx / 16_000.0)).astype(
+            np.int16
+        )
+        if v == 0:
+            out.append((i, s, 16_000))
+        elif v == 1:
+            out.append((i, s.copy(), 22_050))
+        elif v == 2:
+            out.append((i, (s // 2).astype(np.int16), 16_000))
+        else:
+            rng2 = np.random.Generator(
+                np.random.Philox(key=seed * 8_000_009 + g)
+            )
+            mask = rng2.random(size=length) < 0.08
+            noise = rng2.integers(-150, 151, size=length)
+            out.append((
+                i,
+                np.clip(
+                    s.astype(np.int32) + np.where(mask, noise, 0),
+                    -32_768, 32_767,
+                ).astype(np.int16),
+                16_000,
+            ))
+    return out
+
+
+def synth_dup_audio_df(
+    spark: SparkSession, n: int = 120, seed: int = 42
+) -> DataFrame:
+    """Deterministic audio table with planted duplicates: the
+    ``synth_dup_audio_samples`` ground truth encoded as real PCM16 WAV
+    payloads — the fixture the audio-dedup queries run on."""
+    from ..functions.codecs import encode_wav
+
+    rows = []
+    for i, s, rate in synth_dup_audio_samples(n, seed):
+        rows.append((i, "audio", bytearray(encode_wav(s, rate)),
+                     None, None, rate, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
