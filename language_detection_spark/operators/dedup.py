@@ -725,6 +725,57 @@ def near_dup_clusters(
     )
 
 
+def cluster_representatives(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+    minhash_threshold: float = 0.5,
+    simhash_max_hamming: int = 8,
+) -> DataFrame:
+    """Quality-ranked representative per near-dup cluster — "keep the
+    BEST copy, not the first": for every cluster from
+    ``near_dup_clusters`` pick the member with the highest quality score
+    (ties -> lowest doc id), the FineWeb-style refinement of the
+    min-id keep rule.  Returns one row per cluster:
+    ``(cluster_id, cluster_size, kept_doc_id, kept_score)``.
+
+    ``score`` defaults to ``text_analysis.quality_score`` but accepts any
+    deterministic Column (perplexity, NB classifier margin, ...).
+
+    Scale shape: scoring is pure codegen on the scan; the argmax is ONE
+    partial-aggregating groupBy on cluster_id via max(struct(score,
+    -id)) — no window over the corpus, map-side combine keeps hub
+    clusters from materializing a member list."""
+    from .text_analysis import quality_score
+
+    clusters = near_dup_clusters(
+        df, text_col, id_col,
+        minhash_threshold=minhash_threshold,
+        simhash_max_hamming=simhash_max_hamming,
+    )
+    sc = score if score is not None else quality_score(F.col(text_col))
+    scored = df.select(F.col(id_col).alias("doc_id"), sc.alias("q_score"))
+    best = (
+        clusters.join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max("cluster_size").alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col("q_score"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("b"),
+        )
+    )
+    return best.select(
+        "cluster_id",
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+        (-F.col("b.neg_id")).alias("kept_doc_id"),
+        F.col("b.q_score").alias("kept_score"),
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     text_col: str = "text",
