@@ -72,12 +72,15 @@ def boilerplate_filter(
     html_col: str = "html",
     min_words: int = MIN_WORDS,
     stopwords: tuple[str, ...] = STOPWORDS,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Classify each block of each page and rebuild the content text.
 
     Output: ``(doc_id, n_blocks, n_content_blocks, content_chars,
     boiler_chars, content_text)`` — non-empty blocks only;
     content_text joins kept blocks with newlines in document order.
+    ``keep_cols`` names input columns passed through unchanged (keeps
+    pipeline compositions one map-side pass — no doc_id re-join).
     """
     html_str = F.col(html_col).cast("string")
     blocks = F.split(html_str, BLOCK_TAG_RE)
@@ -132,19 +135,19 @@ def boilerplate_filter(
         F.array_join(
             F.transform(kept, lambda s: s["plain"]), "\n"
         ).alias("content_text"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
-def synth_boiler_pages(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Deterministic boilerplate-shaped html fixture: nav chrome (pure
-    links), content paragraphs built from the document's words (5-word
-    chunks, every other chunk prefixed with stopwords so both sides of
-    the stopword gate are exercised), a short menu item, and a
-    link-heavy footer.  Both engines re-derive the identical page."""
-    doc_id = F.col(id_col)
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+def boiler_body_expr(doc_id: Column, text: Column) -> Column:
+    """Boilerplate-shaped page BODY (inner html, no <html>/<body>
+    wrapper): nav chrome (pure links), content paragraphs built from the
+    document's words (5-word chunks, every other chunk prefixed with
+    stopwords so both sides of the stopword gate are exercised), a short
+    menu item, and a link-heavy footer.  Shared by the boilerplate
+    fixture and the composed web-curation fixture — both oracles bake
+    the identical literal construction."""
+    words = F.split(F.trim(text), r"\s+")
     n_chunks = F.greatest(
         F.ceil(F.size(words) / F.lit(5.0)).cast("int"), F.lit(1)
     )
@@ -159,15 +162,28 @@ def synth_boiler_pages(
             F.lit("</p>"),
         )
 
-    body = F.array_join(
+    paras = F.array_join(
         F.transform(F.sequence(F.lit(0), n_chunks - 1), para), ""
     )
-    html = F.concat(
-        F.lit('<html><body><div><a href="/">Home</a> '
+    return F.concat(
+        F.lit('<div><a href="/">Home</a> '
               '<a href="/about">About</a> <a href="/contact">Contact</a>'
               "</div><li>Menu</li>"),
-        body,
+        paras,
         F.lit('<div>Copyright 2024 <a href="/terms">Terms of use</a> '
-              '<a href="/privacy">Privacy</a></div></body></html>'),
+              '<a href="/privacy">Privacy</a></div>'),
+    )
+
+
+def synth_boiler_pages(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic boilerplate-shaped html fixture (see
+    ``boiler_body_expr``); both engines re-derive the identical page."""
+    doc_id = F.col(id_col)
+    html = F.concat(
+        F.lit("<html><body>"),
+        boiler_body_expr(doc_id, F.col(text_col)),
+        F.lit("</body></html>"),
     )
     return df.select(doc_id.alias("doc_id"), html.alias("html"))

@@ -107,6 +107,7 @@ def url_filter(
     url_col: str = "url",
     id_col: str = "doc_id",
     threshold_milli: int = DEFAULT_SCORE_THRESHOLD_MILLI,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """RefinedWeb-style URL gate.
 
@@ -115,7 +116,9 @@ def url_filter(
     ``(doc_id, url, host, registered_domain, blocked_domain,
     resource_url, url_score_milli, keep_url)`` — named reason columns
     so the audit can aggregate per-rule drop counts, the same contract
-    as the document-level rule chain.
+    as the document-level rule chain.  ``keep_cols`` names input
+    columns passed through unchanged (lets pipeline compositions stay
+    one map-side pass instead of re-joining on doc_id).
     """
     url = F.col(url_col)
     host = url_host(url)
@@ -127,6 +130,7 @@ def url_filter(
         registered_domain(host).alias("registered_domain"),
         is_resource_url(path).alias("resource_url"),
         url_word_score_milli(url).alias("url_score_milli"),
+        *[F.col(c) for c in keep_cols],
     )
     if blocklist is not None:
         dim = blocklist.select(
@@ -152,6 +156,7 @@ def url_filter(
             & ~F.col("resource_url")
             & (F.col("url_score_milli") < F.lit(threshold_milli))
         ).alias("keep_url"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -165,6 +170,7 @@ _CANONICAL_LINK_RE = r'(?is)<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
 def page_directives(
     pages: DataFrame, id_col: str = "doc_id",
     url_col: str = "url", html_col: str = "html",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Crawl-policy directives a compliant corpus builder must honor
     (REP meta tags per RFC 9309 practice + rel=canonical): output
@@ -196,6 +202,7 @@ def page_directives(
             "canonical_self"
         ),
         (~noindex).alias("keep_page"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -211,16 +218,7 @@ def synth_directive_pages(
         F.lit("https://example.com/page/"),
         F.pmod(doc_id, F.lit(60)).cast("string"),
     )
-    m = F.pmod(doc_id, F.lit(5))
-    meta = (
-        F.when(m == 0, F.lit(""))
-        .when(m == 1, F.lit('<meta name="robots" content="index,follow">'))
-        .when(m == 2, F.lit('<meta name="robots" content="NOINDEX">'))
-        .when(m == 3, F.lit('<meta name="robots" content="nofollow">'))
-        .otherwise(
-            F.lit('<meta content="noindex, nofollow" name="robots">')
-        )
-    )
+    meta = robots_meta_expr(doc_id)
     c = F.pmod(doc_id, F.lit(3))
     link = (
         F.when(c == 0, F.lit(""))
@@ -239,15 +237,28 @@ def synth_directive_pages(
     )
 
 
-def synth_crawl_urls(
-    df: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
-    """Deterministic crawl-shaped URL fixture from ``doc_id`` alone,
-    exercising every rule: clean URLs, keyword hits in host / path /
-    query at every severity tier, resource extensions, and blocklisted
-    domains (the contract oracle re-derives the identical
-    construction, same pattern as ``canonical_url_dups``)."""
-    doc_id = F.col(id_col)
+def robots_meta_expr(doc_id: Column) -> Column:
+    """Robots-meta fixture expression cycling every variant (none /
+    index,follow / NOINDEX / nofollow / noindex,nofollow with swapped
+    attribute order) — shared by the directives fixture and the
+    composed web-curation fixture so both oracles bake the identical
+    literal construction."""
+    m = F.pmod(doc_id, F.lit(5))
+    return (
+        F.when(m == 0, F.lit(""))
+        .when(m == 1, F.lit('<meta name="robots" content="index,follow">'))
+        .when(m == 2, F.lit('<meta name="robots" content="NOINDEX">'))
+        .when(m == 3, F.lit('<meta name="robots" content="nofollow">'))
+        .otherwise(
+            F.lit('<meta content="noindex, nofollow" name="robots">')
+        )
+    )
+
+
+def crawl_url_expr(doc_id: Column) -> Column:
+    """Crawl-shaped fixture URL from ``doc_id`` alone — every url_filter
+    rule exercised; shared by the URL-filter fixture and the composed
+    web-curation fixture."""
     slot = F.pmod(doc_id, F.lit(23)).cast("string")
     tld = (
         F.when(F.pmod(doc_id, F.lit(3)) == 0, "com")
@@ -279,9 +290,21 @@ def synth_crawl_urls(
         .when(q == 1, F.lit("?utm_source=dating-pharmacy"))
         .otherwise(F.lit(""))
     )
+    return F.concat(F.lit("https://"), host, path, query)
+
+
+def synth_crawl_urls(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic crawl-shaped URL fixture from ``doc_id`` alone,
+    exercising every rule: clean URLs, keyword hits in host / path /
+    query at every severity tier, resource extensions, and blocklisted
+    domains (the contract oracle re-derives the identical
+    construction, same pattern as ``canonical_url_dups``)."""
+    doc_id = F.col(id_col)
     return df.select(
         doc_id.alias("doc_id"),
-        F.concat(F.lit("https://"), host, path, query).alias("url"),
+        crawl_url_expr(doc_id).alias("url"),
     )
 
 
