@@ -75,3 +75,25 @@ def test_audio_near_dups_equal_brute_force(spark, truth):  # noqa: F811
     assert got == exact
     assert all(a // 4 == b // 4 for a, b in got)  # only planted groups pair
     assert len(got) >= 170
+
+
+def test_fingerprint_property_vectorized_equals_scalar_random_clips():
+    """Hypothesis fuzz: cumsum-vectorized fingerprint equals the
+    nested-loop scalar spec on arbitrary lengths and contents, incl.
+    int16 extremes (|−32768| stays exact in the int64 accumulator)."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from language_detection_spark.queries import _afp_scalar
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=65, max_value=9000),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, seed):
+        rng = np.random.Generator(np.random.Philox(key=seed))
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        assert audio_fingerprint_samples(s) == _afp_scalar(s)
+
+    check()

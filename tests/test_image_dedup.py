@@ -100,3 +100,26 @@ def test_image_near_dups_plan_no_cartesian(spark):  # noqa: F811
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_property_vectorized_equals_scalar_random_shapes():
+    """Hypothesis fuzz: the integral-image vectorized dHash equals the
+    nested-loop scalar spec on arbitrary image shapes and contents —
+    incl. shapes far from multiples of the 8x9 grid."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from language_detection_spark.queries import _dhash_scalar
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(min_value=8, max_value=97),
+        w=st.integers(min_value=9, max_value=113),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(h, w, seed):
+        rng = np.random.Generator(np.random.Philox(key=seed))
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert dhash_pixels(px) == _dhash_scalar(px)
+
+    check()
