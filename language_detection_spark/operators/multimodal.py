@@ -861,3 +861,173 @@ def synth_dup_audio_df(
         rows.append((i, "audio", bytearray(encode_wav(s, rate)),
                      None, None, rate, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video near-dup dedup: the SAME clip re-encoded (different JPEG mode,
+# different quality, different container fps) is a duplicate a byte hash
+# can never see.  Signature = the image dHash of each SAMPLED frame
+# (decode only the sampled frames — the curation discipline of
+# extract_frame_features); two videos are near-dups when enough sampled
+# frames match within a Hamming radius.  Measured drift on this codec:
+# progressive-vs-baseline re-encode is hash-IDENTICAL, a quality-80
+# re-encode of quality-90 material drifts 1-5 bits — radius 6 catches
+# re-encodes while random cross-video frames sit ~25-40 bits away.
+# --------------------------------------------------------------------------
+
+#: frame_idx is packed into the low bits of the banded-join item id;
+#: one video may hold at most this many sampled frames.
+_FRAME_ID_STRIDE = 4096
+
+
+def video_frame_hashes(
+    df: DataFrame, every_n: int = 2, max_frames: int | None = None
+) -> DataFrame:
+    """Per sampled frame: ``(media_id, frame_idx, dhash)`` — RIFF walk,
+    every ``every_n``-th frame, all sampled frames of the Arrow batch
+    JPEG-decoded in ONE lockstep pass, then the image dHash per frame.
+    8 bytes per sampled frame out; no shuffle."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import decode_jpeg_batch
+
+        for batch in batches:
+            rows: list[tuple] = []
+            sampled: list[bytes] = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                raw = bytes(payload)
+                if codecs.sniff_format(raw) != "avi":
+                    raise NotImplementedError(
+                        "frame hashing is native for MJPEG AVI; MP4/H.264 "
+                        "requires ffmpeg (not in container)"
+                    )
+                frames = codecs.decode_avi_frames(raw)
+                idx = sample_frame_indices(len(frames), every_n, max_frames)
+                for i in idx:
+                    rows.append((int(mid), int(i)))
+                    sampled.append(frames[i])
+            decoded = decode_jpeg_batch(sampled) if sampled else []
+            out = {"media_id": [], "frame_idx": [], "dhash": []}
+            for (mid, i), px in zip(rows, decoded):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["dhash"].append(dhash_pixels(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "frame_idx": out["frame_idx"],
+                    "dhash": pd.array(out["dhash"], dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        _go, "media_id long, frame_idx int, dhash long"
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    every_n: int = 2,
+    max_hamming: int = 6,
+    min_matched_frames: int = 2,
+    key_chunks: int = 2,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Video near-dup pairs ``(id_a, id_b, n_matched_frames)``: sampled
+    frames become items of the Manku bits=64 banded join (frame identity
+    packed as ``media_id * 4096 + frame_idx``), frame matches within the
+    Hamming radius are mapped back to video pairs, and a video pair
+    survives with ``min_matched_frames`` or more matching frame pairs.
+    Never all-pairs at either level; the per-video aggregation is one
+    partial-agg groupBy."""
+    from .dedup import simhash_pairs_from_hashes
+
+    h = video_frame_hashes(df, every_n=every_n).select(
+        (
+            F.col("media_id") * _FRAME_ID_STRIDE + F.col("frame_idx")
+        ).alias("id"),
+        F.col("dhash").alias("sh"),
+    )
+    fp = simhash_pairs_from_hashes(
+        h, max_hamming=max_hamming, key_chunks=key_chunks,
+        max_bucket_size=max_bucket_size, bits=64,
+    )
+    va = (F.col("id_a") / _FRAME_ID_STRIDE).cast("long")
+    vb = (F.col("id_b") / _FRAME_ID_STRIDE).cast("long")
+    return (
+        fp.select(
+            F.least(va, vb).alias("id_a"),
+            F.greatest(va, vb).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matched_frames"))
+        .filter(F.col("n_matched_frames") >= min_matched_frames)
+    )
+
+
+def synth_dup_video_payloads(
+    n: int = 36, seed: int = 42
+) -> list[tuple[int, bytes, int, int, int]]:
+    """Encoded AVI payloads for the video-dedup fixture (Spark-free, so
+    the oracle bake can decode them locally): groups of 3 share
+    ground-truth frames — variant 0 = all baseline JPEG quality 90, 1 =
+    alternating progressive at the same quality (decodes
+    hash-identically) with different fps metadata, 2 = re-encoded at
+    quality 80 (frames drift a few Hamming bits).  Frames carry coarse
+    texture misaligned with the dHash grid (see synth_dup_image_pixels)
+    so hashes carry signal.  Returns ``(media_id, payload, w, h, nf)``."""
+    from ..functions.codecs import encode_avi_mjpeg
+    from ..functions.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        g, v = divmod(i, 3)
+        rng = np.random.Generator(np.random.Philox(key=seed * 3_000_017 + g))
+        h, w = 16 + (g % 3) * 8, 24 + (g % 4) * 8
+        nf = 6 + g % 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames_px = []
+        for t in range(nf):
+            coarse = rng.integers(-45, 46, size=(10, 12))
+            base = (
+                110
+                + ((yy * 40) // max(h - 1, 1)
+                   + (xx * 40) // max(w - 1, 1)) // 2
+                + coarse[yy * 10 // h, xx * 12 // w]
+            )
+            frames_px.append(
+                np.clip(
+                    base[..., None] + rng.integers(-8, 9, size=(h, w, 3)),
+                    0, 255,
+                ).astype(np.uint8)
+            )
+        if v == 0:
+            enc = [encode_jpeg(px, quality=90) for px in frames_px]
+            fps = 10
+        elif v == 1:
+            enc = [
+                encode_jpeg(px, quality=90, progressive=t % 2 == 1)
+                for t, px in enumerate(frames_px)
+            ]
+            fps = 25
+        else:
+            enc = [encode_jpeg(px, quality=80) for px in frames_px]
+            fps = 10
+        payload = encode_avi_mjpeg(enc, w, h, fps=fps)
+        rows.append((i, payload, w, h, nf))
+    return rows
+
+
+def synth_dup_videos_df(
+    spark: SparkSession, n: int = 36, seed: int = 42
+) -> DataFrame:
+    """Deterministic video table with planted re-encoded duplicates —
+    see ``synth_dup_video_payloads``."""
+    return spark.createDataFrame(
+        [
+            (i, "video", bytearray(p), w, h, None, nf)
+            for i, p, w, h, nf in synth_dup_video_payloads(n, seed)
+        ],
+        MEDIA_SCHEMA,
+    )
