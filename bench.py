@@ -183,6 +183,8 @@ def main() -> None:
           lambda: q["web_curation_pipeline"](spark, sf_dir).count())
     timed("video_near_dups",
           lambda: q["video_near_dups"](spark, sf_dir).count())
+    timed("robots_allowed",
+          lambda: q["robots_allowed_urls"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings.get("pipeline", float("nan"))
