@@ -131,9 +131,11 @@ def robots_allowed(
     Longest-prefix match; Allow beats Disallow at equal length; no
     match (or no rules for the host) → allowed with matched_rule ''.
 
-    The rules dim is broadcast; the winner is one max(struct(len,
-    allow_flag, rule...)) partial-agg groupBy per URL — no corpus
-    shuffle beyond the doc_id aggregation key it already carries."""
+    ZERO corpus shuffle: the rules are pre-aggregated per host on the
+    DIM side (collect_list), broadcast, and the winning rule is picked
+    per row with a HOF fold over the host's rule array — the corpus is
+    never re-partitioned, which is the shape that matters when urls is
+    10^12 rows and rules is 10^8."""
     url = F.col(url_col)
     host = url_host(url)
     path = F.regexp_extract(
@@ -145,35 +147,49 @@ def robots_allowed(
         host.alias("host"),
         F.when(path == "", "/").otherwise(path).alias("path"),
     )
-    joined = base.join(F.broadcast(rules), "host", "left").withColumn(
-        "match",
-        F.col("rule_path").isNotNull()
-        & F.col("path").startswith(F.col("rule_path")),
+    rules_by_host = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct(F.col("rule_type"), F.col("rule_path"))
+        ).alias("rules")
     )
-    best = joined.groupBy("doc_id", "url", "host").agg(
-        F.max(
-            F.when(
-                F.col("match"),
-                F.struct(
-                    F.length("rule_path").alias("l"),
-                    (F.col("rule_type") == "allow")
-                    .cast("int")
-                    .alias("is_allow"),
-                    F.col("rule_path").alias("rule_path"),
-                    F.col("rule_type").alias("rule_type"),
-                ),
+    joined = base.join(F.broadcast(rules_by_host), "host", "left")
+    nothing = F.struct(
+        F.lit(-1).alias("l"),
+        F.lit(-1).alias("is_allow"),
+        F.lit("").alias("rule_path"),
+        F.lit("").alias("rule_type"),
+    )
+    # fold the (distinct) rule structs to the max of (len, allow, path,
+    # type) — total order, so collect_list's arrival order is irrelevant
+    best = F.aggregate(
+        F.filter(
+            F.coalesce(F.col("rules"), F.array()),
+            lambda r: F.col("path").startswith(r["rule_path"]),
+        ),
+        nothing,
+        lambda acc, r: F.when(
+            F.struct(
+                F.length(r["rule_path"]).alias("l"),
+                (r["rule_type"] == "allow").cast("int").alias("is_allow"),
+                r["rule_path"].alias("rule_path"),
+                r["rule_type"].alias("rule_type"),
             )
-        ).alias("b")
+            > acc,
+            F.struct(
+                F.length(r["rule_path"]).alias("l"),
+                (r["rule_type"] == "allow").cast("int").alias("is_allow"),
+                r["rule_path"].alias("rule_path"),
+                r["rule_type"].alias("rule_type"),
+            ),
+        ).otherwise(acc),
     )
-    return best.select(
+    return joined.select(
         "doc_id",
         "url",
         "host",
-        F.coalesce(F.col("b.rule_path"), F.lit("")).alias("matched_rule"),
-        F.coalesce(F.col("b.rule_type"), F.lit("")).alias("rule_type"),
-        F.coalesce(
-            F.col("b.rule_type") != "disallow", F.lit(True)
-        ).alias("allowed"),
+        best["rule_path"].alias("matched_rule"),
+        best["rule_type"].alias("rule_type"),
+        (best["rule_type"] != F.lit("disallow")).alias("allowed"),
     )
 
 

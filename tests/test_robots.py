@@ -91,3 +91,10 @@ def test_rules_dim_is_broadcast(spark, robots_df):  # noqa: F811
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # every shuffle is on the DIM side (host-keyed parse/aggregation);
+    # the URL corpus itself is never re-partitioned
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]*)", plan)
+    assert exchanges and all("host" in e for e in exchanges), exchanges
+    assert "doc_id" not in " ".join(exchanges)
