@@ -144,34 +144,132 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 16,
     shingle_k: int = 3,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) — md5 each shingle ONCE, then
     min over shingles of the p-th affine permutation.  Docs with no
-    shingles are dropped (cannot be near-dup candidates)."""
-    sh = word_shingles(F.col(text_col), shingle_k).alias("shingles")
-    base = (
-        df.select(F.col(id_col).alias("id"), sh)
-        .filter(F.size("shingles") > 0)
-        .select(
-            "id",
-            # NB: unary lambda — pyspark's transform feeds the element
-            # index as a second positional arg to binary lambdas
-            F.transform(F.col("shingles"), lambda s: md5_int(s)).alias("hs"),
+    shingles are dropped (cannot be near-dup candidates).
+
+    ``engine``: "arrow" (default) = batched numpy UDF; "sql" = pure JVM
+    expression chain.  Bit-identical outputs (integer-only math; the
+    whole-corpus equality is pinned by ``test_minhash_engines_agree``),
+    same pattern as the simhash arrow/sql twin: Catalyst's per-shingle
+    md5 → hex-string → conv(…,16,10) round trip costs ~5× the batched
+    hashlib+numpy path (measured sf0.1: signature stage 3.2s → 0.5s), so
+    the UDF is the default and the expression stays as the zero-Python
+    alternative and arbitration twin."""
+    if engine == "sql":
+        sh = word_shingles(F.col(text_col), shingle_k).alias("shingles")
+        base = (
+            df.select(F.col(id_col).alias("id"), sh)
+            .filter(F.size("shingles") > 0)
+            .select(
+                "id",
+                # NB: unary lambda — pyspark's transform feeds the element
+                # index as a second positional arg to binary lambdas
+                F.transform(F.col("shingles"), lambda s: md5_int(s)).alias("hs"),
+            )
         )
+        params = _perm_params(num_perm)
+
+        def _mk_perm(a: int, b: int):
+            # STRICTLY unary lambda: default-valued params would make
+            # pyspark's transform pass the element index into them
+            return lambda h: affine_perm(h, a, b)
+
+        def _perm_min(p: int):
+            a, b = params[p]
+            return F.array_min(F.transform(F.col("hs"), _mk_perm(a, b)))
+
+        sig = F.array(*[_perm_min(p) for p in range(num_perm)]).alias("sig")
+        return base.select("id", sig)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            minhash_sig_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig"),
+        )
+        # same row set as the expression path's size(shingles) > 0 filter:
+        # the UDF returns null for docs with < shingle_k words
+        .filter(F.col("sig").isNotNull())
     )
+
+
+def minhash_sig_udf(num_perm: int = 16, shingle_k: int = 3):
+    """text → MinHash signature (Arrow-batched numpy; null when the doc
+    has fewer than ``shingle_k`` words).
+
+    Bit-identical to the expression path in :func:`minhash_signatures`
+    (engine="sql") and to the DuckDB oracle, by construction:
+
+    * words — Spark ``split(trim(text), '\\s+')``: trim strips ASCII-32
+      spaces only; Java regex ``\\s`` is ASCII ``[ \\t\\n\\x0B\\f\\r]``
+      (== Python ``re.ASCII`` ``\\s``); Java split with limit=-1 keeps
+      leading AND trailing empty fields, exactly like ``re.split``.
+    * shingle hash — first 15 md5 hex digits as int (60 bits), one md5
+      per DISTINCT shingle per batch (min over a multiset equals min
+      over its support, so batch-level dedup cannot change any value).
+    * permutation — the identical int64 fold (every intermediate < 2^63,
+      see affine_perm); numpy int64 ops match JVM long ops exactly.
+    """
+    from pyspark.sql.types import ArrayType
+
+    import hashlib
+    import re
+
     params = _perm_params(num_perm)
+    A = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    B = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    ws_re = re.compile(r"\s+", re.ASCII)
 
-    def _mk_perm(a: int, b: int):
-        # STRICTLY unary lambda: default-valued params would make pyspark's
-        # transform pass the element index into them
-        return lambda h: affine_perm(h, a, b)
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        occ: list[int] = []          # unique-shingle index per occurrence
+        starts: list[int] = []       # segment start per doc with shingles
+        keep: list[int] = []         # row index of docs with shingles
+        uniq: dict[str, int] = {}
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            words = ws_re.split(t.strip(" "))
+            n = len(words)
+            if n < shingle_k:
+                continue
+            keep.append(i)
+            starts.append(len(occ))
+            for j in range(n - shingle_k + 1):
+                s = " ".join(words[j : j + shingle_k])
+                ix = uniq.get(s)
+                if ix is None:
+                    ix = len(uniq)
+                    uniq[s] = ix
+                occ.append(ix)
+        out = pd.Series([None] * len(texts), dtype="object")
+        if not keep:
+            return out
+        h = np.fromiter(
+            (
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                for s in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        # identical fold to affine_perm: v = fold_P61(a*h + b), int64-exact
+        h_hi = h >> 31
+        h_lo = h & _M31
+        t1 = A * h_hi                                    # (P, U) < 2^60
+        s = (t1 >> 30) + ((t1 & _M30) << 31) + A * h_lo + B
+        v = (s >> 61) + (s & _P61)                       # (P, U)
+        mins = np.minimum.reduceat(
+            v[:, np.asarray(occ, dtype=np.int64)],
+            np.asarray(starts, dtype=np.int64),
+            axis=1,
+        )                                                # (P, D)
+        for d, i in enumerate(keep):
+            out.iloc[i] = mins[:, d].tolist()
+        return out
 
-    def _perm_min(p: int):
-        a, b = params[p]
-        return F.array_min(F.transform(F.col("hs"), _mk_perm(a, b)))
-
-    sig = F.array(*[_perm_min(p) for p in range(num_perm)]).alias("sig")
-    return base.select("id", sig)
+    return _sig
 
 
 def banded_rows(

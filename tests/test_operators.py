@@ -150,6 +150,49 @@ def test_simhash_col_matches_udf(spark):
     assert got[0][0] == 0 and got[1][0] == 0
 
 
+def test_minhash_engines_agree(spark):
+    """The Arrow numpy minhash engine (production default) is bit-identical
+    to the pure-expression engine on adversarial inputs: empties,
+    whitespace-only, sub-shingle-length docs, leading/trailing separators
+    (Java split keeps both-side empty fields at limit=-1), non-space ASCII
+    whitespace (trim strips only 0x20), unicode whitespace that must NOT
+    split (U+3000), repeated shingles, and multi-byte tokens."""
+    from language_detection_spark.operators.dedup import minhash_signatures
+
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, None),
+        (3, "one two"),                      # < k words → dropped
+        (4, "a b c"),                        # exactly one shingle
+        (5, "a b c d e f g"),
+        (6, "\tlead tab x y"),               # leading empty word survives
+        (7, "tail tab x y\t"),               # trailing empty word survives
+        (8, "\x0b vt a b c \x0c"),
+        (9, "a  b   c    d"),
+        (10, "rep rep rep rep rep"),
+        (11, "　ideographic space a b"),      # U+3000 is NOT Java \\s
+        (12, "héllo wörld 漢字 ünïcode x"),
+        (13, "a\nb\nc\nd\ne"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for num_perm in (8, 16):
+        a = {
+            r.id: r.sig
+            for r in minhash_signatures(
+                df, num_perm=num_perm, engine="arrow"
+            ).collect()
+        }
+        s = {
+            r.id: r.sig
+            for r in minhash_signatures(
+                df, num_perm=num_perm, engine="sql"
+            ).collect()
+        }
+        assert a == s
+        assert set(a) == {4, 5, 6, 7, 8, 9, 10, 11, 12, 13}
+
+
 def test_simhash_under_tabled_raises(spark):
     from language_detection_spark.operators.dedup import simhash_pairs_from_hashes
 
