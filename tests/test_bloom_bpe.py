@@ -113,6 +113,26 @@ def test_encode_vocab_greedy_order_hand_case(spark):
     assert row2.syms == ["aaa", "b", "</w>"]
 
 
+def test_encode_engines_agree(spark):
+    """The one-pass Arrow encoder equals the chained-JVM-fold encoder on
+    every word shape: empty word (JVM split('')→[''] quirk), single char,
+    merge chains, rank-order-dependent merges, unicode, repeats."""
+    words = ["", "a", "aaab", "aaaa", "banana", "é漢字", "abab",
+             "the", "thethe", "x"]
+    vocab = spark.createDataFrame([(w,) for w in words], "word: string")
+    merges = [(1, "a", "a", 9), (2, "aa", "a", 5), (3, "b", "a", 4),
+              (4, "t", "h", 3), (5, "th", "e", 2)]
+    a = {r.word: (r.syms, r.n_tokens)
+         for r in encode_vocab_bpe(vocab, merges, engine="arrow").collect()}
+    s = {r.word: (r.syms, r.n_tokens)
+         for r in encode_vocab_bpe(vocab, merges, engine="sql").collect()}
+    assert a == s
+    # non-empty words also match the plain-python spec arbiter
+    for w in words:
+        if w:
+            assert a[w][0] == encode_word_local(w, merges)
+
+
 def test_bpe_token_stats_matches_local_and_monotone(spark):
     texts = [
         (0, "the cat sat on the mat"),

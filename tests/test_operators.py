@@ -359,6 +359,35 @@ def test_ann_recall_floor(spark):
     assert recall >= 0.8, f"recall@5 = {recall}"
 
 
+def test_cosine_udf_matches_expression(spark, emb_tables):
+    """The batched numpy cosine (embedding near-dup verify path) equals the
+    JVM fold expression EXACTLY (no rounding): same element order, same
+    IEEE-double ops.  Includes zero vectors (the guarded 0.0 branch)."""
+    from language_detection_spark.operators.similarity import (
+        cosine_pairs_udf,
+        cosine_sim,
+    )
+
+    emb, _, _ = emb_tables
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    zero = spark.createDataFrame(
+        [(10_000, [0.0] * len(emb.first().embedding))],
+        "ia long, va array<double>",
+    )
+    pairs = a.unionByName(zero).crossJoin(
+        b.unionByName(zero.select(F.col("ia").alias("ib"),
+                                  F.col("va").alias("vb")))
+    )
+    d = pairs.select(
+        cosine_sim(
+            F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+        ).alias("e"),
+        cosine_pairs_udf()(F.col("va"), F.col("vb")).alias("u"),
+    )
+    assert d.filter(F.col("e") != F.col("u")).count() == 0
+
+
 def test_embedding_near_dup(spark, emb_tables):
     emb, _, _ = emb_tables
     pairs = {(r.id_a, r.id_b) for r in
