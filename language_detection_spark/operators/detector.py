@@ -436,10 +436,9 @@ def annotate_batch(
     perplexity from ONE gram extraction (the LM reuses the detector's
     post-purge gram keys; both stages share prepare_text).
     Returns (langs, confs, ppl) with ppl = nan where undefined."""
-    from .perplexity import perplexity_from_keys
+    from .perplexity import perplexity_many_from_keys
 
     lang_conf = np.zeros(len(texts))
-    ppl = np.full(len(texts), np.nan)
     out_langs: list[str] = []
     keys_list = _batch_keys(texts, max_text_length)
     rngs = [np.random.Generator(np.random.Philox(key=int(s))) for s in seeds]
@@ -450,6 +449,10 @@ def annotate_batch(
                 model, keys_list[lo:hi], rngs[lo:hi], alpha, n_trial, None
             )
         )
+    # LM scoring batched across the whole batch (one lookup pair instead
+    # of one per doc — bit-identical, see perplexity_many_from_keys);
+    # lang_idx = -1 marks docs the detector rejected (no ppl, as before)
+    lang_idx = np.full(len(texts), -1)
     for i, p in enumerate(results):
         if p is None:
             out_langs.append(UNKNOWN_LANG)
@@ -458,11 +461,10 @@ def annotate_batch(
         if p[top] > PROB_THRESHOLD:
             out_langs.append(model.langs[top])
             lang_conf[i] = p[top]
-            v = perplexity_from_keys(model, keys_list[i], top, lm_alpha)
-            if v is not None:
-                ppl[i] = v
+            lang_idx[i] = top
         else:
             out_langs.append(UNKNOWN_LANG)
+    ppl = perplexity_many_from_keys(model, keys_list, lang_idx, lm_alpha)
     return out_langs, lang_conf, ppl
 
 

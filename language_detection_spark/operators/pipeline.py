@@ -91,6 +91,16 @@ class QualityFilterPipeline:
     def run(self, pages: DataFrame) -> DataFrame:
         ann = self.annotate(pages)
         out_cols = ["url", "warc_ts", "lang", "lang_conf", "ppl", "scrubbed_text"]
-        return ann.filter(F.col("keep")).select(
-            *[c for c in out_cols if c in ann.columns]
-        )
+        # scrub SURVIVORS only: drop the audit-surface scrubbed_text (column
+        # pruning then removes its regex chain from below the filter — the
+        # keep decision never reads it) and re-attach the identical
+        # deterministic expression above the filter, so the 4-pass PII +
+        # toxicity regexes run on kept rows (~half the corpus here) instead
+        # of every row.  Same rows, same bytes.
+        kept = ann.drop("scrubbed_text").filter(F.col("keep"))
+        if "scrubbed_text" in ann.columns:
+            kept = kept.withColumn(
+                "scrubbed_text",
+                scrub_toxicity(scrub_pii(F.col("text")), self.cfg),
+            )
+        return kept.select(*[c for c in out_cols if c in ann.columns])
