@@ -376,27 +376,52 @@ def _detect_many_from_keys(
         # ginv segment (replaces a per-doc fancy-index in the loop above)
         draw_rows = ginv[draw_raw + seg_lo_adm[alive, None, None, None]]
         act_doc, act_tr = np.nonzero(~done[alive])  # active pairs (local)
-        ga = alive[act_doc]                          # global doc index
-        pf = pu_cat[draw_rows[act_doc, act_tr]]      # (P, g, 5, L) f32
-        pf += W[ga, act_tr][:, None, None, None]
-        gf = pf.prod(axis=2)                         # (P, g, L) f32
-        cg = np.cumprod(gf, axis=1, dtype=np.float64)
-        ck = prob[ga, act_tr][:, None, :] * cg
-        ck /= ck.sum(axis=2, keepdims=True)
-        maxp = ck.max(axis=2)                        # (P, g)
         at_cap = g_done + g >= _MAX_GROUPS
-        hits = maxp > CONV_THRESHOLD
-        if at_cap:
-            hits[:, -1] = True
-        first = hits.argmax(axis=1)
-        has = hits[np.arange(act_doc.size), first]
-        sel = np.flatnonzero(has)
-        if sel.size:
-            result[ga[sel], act_tr[sel]] = ck[sel, first[sel]]
-            done[ga[sel], act_tr[sel]] = True
-        rest = np.flatnonzero(~has)
-        if rest.size:
-            prob[ga[rest], act_tr[rest]] = ck[rest, -1, :]
+        # Per-group sequential evaluation with convergence early-exit.
+        # The draw tensor above is already full-size (RNG geometry must not
+        # depend on convergence), but the float work below runs group by
+        # group and drops each (doc, trial) pair the moment it converges —
+        # the median pair converges at ~13 groups, so the all-groups-then-
+        # pick-first formulation computed ~10-group chunks it never used
+        # (~30-40% of the gather/product flops on this corpus profile).
+        # Bitwise-identical to that formulation: gf_j is elementwise per
+        # (pair, group); the running float64 product multiplies in
+        # np.cumprod's exact order (c_j = c_{j-1} * f64(gf_j)); and
+        # ck_j = prob * c_j is normalized per group exactly as before.
+        pairs_doc = act_doc
+        pairs_tr = act_tr
+        P0 = prob[alive[pairs_doc], pairs_tr]        # (P, L) float64
+        Wp = W[alive[pairs_doc], pairs_tr]           # (P,) float32
+        run: np.ndarray | None = None
+        for j in range(g):
+            pf = pu_cat[draw_rows[pairs_doc, pairs_tr, j]]  # (P, 5, L) f32
+            pf += Wp[:, None, None]
+            gf = pf.prod(axis=1)                     # (P, L) f32
+            run = gf.astype(np.float64) if run is None else run * gf
+            ck = P0 * run
+            ck /= ck.sum(axis=1, keepdims=True)
+            hits = ck.max(axis=1) > CONV_THRESHOLD
+            if at_cap and j == g - 1:
+                hits[:] = True
+            conv = np.flatnonzero(hits)
+            if conv.size:
+                gd = alive[pairs_doc[conv]]
+                result[gd, pairs_tr[conv]] = ck[conv]
+                done[gd, pairs_tr[conv]] = True
+            if j == g - 1:
+                live = np.flatnonzero(~hits)
+                if live.size:
+                    prob[alive[pairs_doc[live]], pairs_tr[live]] = ck[live]
+                break
+            if conv.size:
+                live = np.flatnonzero(~hits)
+                if live.size == 0:
+                    break
+                pairs_doc = pairs_doc[live]
+                pairs_tr = pairs_tr[live]
+                P0 = P0[live]
+                Wp = Wp[live]
+                run = run[live]
         alive = alive[~done[alive].all(axis=1)]
         g_done += g
     for a, d in enumerate(docids):

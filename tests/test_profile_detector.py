@@ -311,3 +311,41 @@ def test_draw_prefetch_bitwise_invariant(tiny_model):
     finally:
         det._PREFETCH_CHUNKS = old
     assert np.array_equal(p1, p3) and np.array_equal(p1, p7)
+
+
+def test_groupwise_early_exit_bitwise_matches_scalar(tiny_model):
+    """The batched detector's per-group convergence early-exit must be
+    bitwise-identical to the unchanged scalar path (_detect_from_keys):
+    same draws, same float32 group products, same float64 running
+    product in np.cumprod order, same per-group normalize.  Mix of
+    fast-converging, slow (repetitive), multi-chunk and featureless
+    docs so every branch (early exit, chunk carry, iteration cap)
+    engages."""
+    import numpy as np
+
+    from language_detection_spark.config import ALPHA_DEFAULT, N_TRIAL_DEFAULT
+    from language_detection_spark.operators import detector as det
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 8,
+        ("le le la la le la " * 60)[:640],          # slow, multi-chunk
+        "der fuchs und der hund " * 25,
+        "a",                                         # near-featureless
+        "",                                          # no features
+        ("the le der " * 80)[:700],                  # mixed, ambiguous
+    ]
+    seeds = [7, 11, 13, 17, 19, 23]
+    keys_list = det._batch_keys(texts, 10000)
+    rngs = [np.random.Generator(np.random.Philox(key=s)) for s in seeds]
+    batched = det._detect_many_from_keys(
+        tiny_model, keys_list, rngs, ALPHA_DEFAULT, N_TRIAL_DEFAULT, None
+    )
+    for i, (keys, s) in enumerate(zip(keys_list, seeds)):
+        rng = np.random.Generator(np.random.Philox(key=s))
+        ref = det._detect_from_keys(
+            tiny_model, keys, rng, ALPHA_DEFAULT, N_TRIAL_DEFAULT, None
+        )
+        if ref is None:
+            assert batched[i] is None
+        else:
+            assert np.array_equal(ref, batched[i]), i
