@@ -86,10 +86,63 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _train_bpe_from_vocab(
+    words, ns, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Single-process BPE merge loop over a ``(word, n)`` vocabulary with
+    incremental pair statistics (the subword-nmt indexing idea: each merge
+    touches only the words that contain the merged pair).  Exactly the
+    spec of the distributed loop — greedy left-to-right merge application
+    and the deterministic (count desc, left asc, right asc) argmax — so
+    the merge sequence is identical (differential-tested against both
+    ``train_bpe_local`` and the distributed engine)."""
+    from collections import Counter, defaultdict
+
+    syms_l = [list(w) + [_EOW] for w in words]
+    stats: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for wi, (syms, n) in enumerate(zip(syms_l, ns)):
+        for a, b in zip(syms, syms[1:]):
+            stats[(a, b)] += n
+            index[(a, b)].add(wi)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        if not stats:
+            break
+        (l, r), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, int(cnt)))
+        for wi in list(index.get((l, r), ())):
+            syms, n = syms_l[wi], ns[wi]
+            for a, b in zip(syms, syms[1:]):
+                c = stats[(a, b)] - n
+                if c:
+                    stats[(a, b)] = c
+                else:
+                    del stats[(a, b)]
+                s = index[(a, b)]
+                s.discard(wi)
+                if not s:
+                    del index[(a, b)]
+            out: list[str] = []
+            for s_ in syms:
+                if out and out[-1] == l and s_ == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s_)
+            syms_l[wi] = out
+            for a, b in zip(out, out[1:]):
+                stats[(a, b)] += n
+                index[(a, b)].add(wi)
+    return merges
+
+
 def train_bpe_merges(
     df: DataFrame,
     n_merges: int = 24,
     text_col: str = "text",
+    local_vocab_max: int = 2_000_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn up to ``n_merges`` BPE merges; returns
     ``[(merge_rank, left_sym, right_sym, pair_count), ...]``.
@@ -98,12 +151,33 @@ def train_bpe_merges(
     — both engines compare strings by code point, so an independent
     implementation reproduces the exact merge sequence.  Stops early when
     no adjacent pair remains (every word fully merged).
-    """
-    vocab = (
-        word_freq_table(df, text_col)
-        .select(_initial_symbols(F.col("word")).alias("syms"), "n")
-        .localCheckpoint(eager=True)
-    )
+
+    Engine choice is scale-adaptive: the corpus-scale work is always the
+    ONE word-frequency pass; when the distinct-word table is small enough
+    to fit one executor task (``local_vocab_max`` rows — Zipf puts even
+    large corpora here), the whole merge loop runs inside a single
+    ``mapInPandas`` task with incremental pair statistics: one Spark job
+    total instead of one job PER MERGE, which removes the n_merges
+    sequential job launches that dominate wall time (a real 32k-merge
+    tokenizer is 32k scheduler round-trips otherwise).  Beyond the
+    threshold the per-round distributed loop below is the fallback —
+    vocab-bounded shuffles, 1-row argmax collect per round."""
+    wf = word_freq_table(df, text_col).localCheckpoint(eager=True)
+    if wf.count() <= local_vocab_max:
+        rows = (
+            wf.coalesce(1)
+            .mapInPandas(
+                _bpe_local_task(n_merges),
+                "merge_rank int, left_sym string, right_sym string, "
+                "pair_count bigint",
+            )
+            .collect()  # bounded: <= n_merges rows
+        )
+        return [
+            (int(r.merge_rank), r.left_sym, r.right_sym, int(r.pair_count))
+            for r in rows
+        ]
+    vocab = wf.select(_initial_symbols(F.col("word")).alias("syms"), "n")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         # argmax with (cnt desc, l asc, r asc) tie-break as ONE partial+
@@ -136,6 +210,38 @@ def train_bpe_merges(
             _merge_expr(l, r).alias("syms"), "n"
         ).localCheckpoint(eager=False)
     return merges
+
+
+def _bpe_local_task(n_merges: int):
+    """mapInPandas body for the single-task merge loop: accumulate the
+    (word, n) vocabulary batches of the one coalesced partition, train,
+    emit the merge table (<= n_merges rows)."""
+
+    def _train(batches):
+        words: list[str] = []
+        ns: list[int] = []
+        for pdf in batches:
+            words.extend(pdf["word"])
+            ns.extend(int(x) for x in pdf["n"])
+        merges = _train_bpe_from_vocab(words, ns, n_merges)
+        yield pd.DataFrame(
+            {
+                "merge_rank": pd.array(
+                    [m[0] for m in merges], dtype="int32"
+                ),
+                "left_sym": pd.array(
+                    [m[1] for m in merges], dtype="string"
+                ),
+                "right_sym": pd.array(
+                    [m[2] for m in merges], dtype="string"
+                ),
+                "pair_count": pd.array(
+                    [m[3] for m in merges], dtype="int64"
+                ),
+            }
+        )
+
+    return _train
 
 
 def bpe_merges_df(spark, merges) -> DataFrame:

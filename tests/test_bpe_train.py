@@ -67,3 +67,18 @@ def test_bpe_merge_application_is_order_deterministic(spark):
     a = train_bpe_merges(_df(spark, texts), n_merges=8)
     b = train_bpe_merges(_df(spark, texts).repartition(11), n_merges=8)
     assert a == b == train_bpe_local(texts, n_merges=8)
+
+
+def test_bpe_engines_agree_and_match_arbiter(spark):
+    # the scale-adaptive fast path (single-task incremental merge loop)
+    # and the distributed per-round loop must produce the identical merge
+    # sequence, both equal to the independent plain-Python arbiter.
+    # local_vocab_max=0 forces the distributed engine.
+    texts = [
+        "aaa aaab baaa", "ab ab ab abab", "don't stop won't",
+        "低 低 低资 资低 资资", "repeat repeat repeat xyz",
+    ]
+    fast = train_bpe_merges(_df(spark, texts), n_merges=16)
+    dist = train_bpe_merges(_df(spark, texts), n_merges=16,
+                            local_vocab_max=0)
+    assert fast == dist == train_bpe_local(texts, n_merges=16)
