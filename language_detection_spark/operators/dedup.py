@@ -62,6 +62,52 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_set_udf(shingle_k: int = 3):
+    """text → array of DISTINCT word ``shingle_k``-shingles in
+    first-occurrence order — the Arrow-batched twin of
+    ``array_distinct(word_shingles(text))``.
+
+    Identical strings by construction (same reasoning as
+    :func:`minhash_sig_udf`): Spark ``split(trim(text), '\\s+')`` ==
+    ``re.split(r'\\s+', text.strip(' '))`` under ``re.ASCII`` (Java
+    ``\\s`` is the ASCII class; ``trim`` strips 0x20 only; Java split
+    keeps leading/trailing empty fields), shingles are single-space
+    joins of word windows, and ``array_distinct`` keeps first
+    occurrence like ``dict.fromkeys``.  Pinned by
+    ``test_shingle_set_udf_matches_expression``.  The interpreted JVM
+    transform/concat_ws chain this replaces was the dominant cost of
+    the Jaccard verification join."""
+    import re
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _sets(texts: pd.Series) -> pd.Series:
+        out: list[list[str]] = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            words = ws_re.split(t.strip(" "))
+            n = len(words)
+            if n < shingle_k:
+                out.append([])
+                continue
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(words[j : j + shingle_k])
+                        for j in range(n - shingle_k + 1)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return _sets
+
+
 # --- exact dedup -----------------------------------------------------------
 
 
@@ -319,25 +365,49 @@ def lsh_candidate_pairs(
     banded = banded_rows(sigs, bands, rows_per_band).select(
         "id", "band", "band_hash"
     )
+    # One groupBy per bucket instead of the former size-aggregate + join +
+    # self-join (three exchanges + duplicated cap subtree per join branch):
+    # members collect into a sorted array — bounded by the bucket cap for
+    # every SURVIVING bucket — and pairs expand in-bucket with id_a < id_b
+    # from the sort order.  Over-cap (boilerplate) buckets are dropped by
+    # the same count filter as before; their transient agg buffers spill
+    # via Spark's sort-based aggregation fallback rather than joining the
+    # candidate stream, which is the right trade at web scale where such
+    # buckets are pathological and rare.
+    grouped = banded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_sz"),
+        F.sort_array(F.collect_list("id")).alias("ms"),
+    )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("_sz")
-        )
-        banded = (
-            banded.join(sizes, ["band", "band_hash"])
-            .filter(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
-        )
-    a = banded.alias("a")
-    b = banded.alias("b")
+        grouped = grouped.filter(F.col("_sz") <= max_bucket_size)
+    # keyed repartition to cluster parallelism: AQE coalesces the groupBy
+    # exchange by BYTES, but the in-bucket pair expansion below is
+    # quadratic per bucket — byte-based coalescing was serializing it
+    # onto a handful of tasks.  Keyed on the bucket (deterministic, no
+    # sort-before-repartition); one extra pass over bucket rows, which
+    # are far fewer than the candidate pairs they expand into.
+    grouped = grouped.repartition(
+        grouped.sparkSession.sparkContext.defaultParallelism,
+        "band", "band_hash",
+    )
+    n = F.size("ms")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ms"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ms"), i + F.lit(2), n - i - 1),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -379,16 +449,19 @@ def jaccard_for_pairs(
             .join(F.broadcast(ids), "id", "left_semi")
             .select(
                 "id",
-                F.array_distinct(
-                    word_shingles(F.col("_t"), shingle_k)
-                ).alias("sset"),
+                shingle_set_udf(shingle_k)(F.col("_t")).alias("sset"),
             )
             .transform(persist_tracked)
         )
     else:
-        sets_df = df.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sset"),
+        # persist: the id_a and id_b joins each re-ran the full-corpus
+        # shingle build otherwise (two passes); the Arrow set builder is
+        # itself ~4x the interpreted transform/concat_ws expression chain
+        sets_df = persist_tracked(
+            df.select(
+                F.col(id_col).alias("id"),
+                shingle_set_udf(shingle_k)(F.col(text_col)).alias("sset"),
+            )
         )
     out = (
         pairs.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
@@ -420,7 +493,9 @@ def minhash_dedup_pairs(
     verify → pairs ≥ threshold.  ``semi_filter``: see jaccard_for_pairs;
     ``max_bucket_size``: see lsh_candidate_pairs (boilerplate-cluster cap)."""
     rows_per_band = num_perm // bands
-    sigs = persist_tracked(minhash_signatures(df, text_col, id_col, num_perm, shingle_k))
+    # no persist: the bucket-agg candidate generator reads the signatures
+    # exactly once (the former self-join topology read them three times)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
     verified = jaccard_for_pairs(cand, df, text_col, id_col, shingle_k,
                                  semi_filter=semi_filter)
@@ -548,19 +623,17 @@ def simhash_near_dup_pairs(
     clusters) before the self-join; at web scale pass ``key_chunks=2`` (or
     3) to switch to the Manku-2007-style multi-chunk keys — same exact
     recall, ~13x fewer candidates at h=8 (see simhash_pairs_from_hashes)."""
-    # persist: (id, sh) is 16 bytes/doc, but every downstream branch
-    # (bucket sizes, both sides of the blocked self-join) would otherwise
-    # re-run the simhash over the full corpus.  engine: "arrow" = batched
-    # numpy UDF (default, measured 5x faster), "sql" = pure JVM expression
-    # (zero Python workers); both are bit-identical (tested).
+    # no persist: the bucket-agg candidate generator reads (id, sh)
+    # exactly once (the former sizes + self-join topology read it three
+    # times).  engine: "arrow" = batched numpy UDF (default, measured 5x
+    # faster), "sql" = pure JVM expression (zero Python workers); both
+    # are bit-identical (tested).
     sh = (
         simhash_udf()(F.col(text_col))
         if engine == "arrow"
         else simhash_col(F.col(text_col))
     )
-    h = df.select(F.col(id_col).alias("id"), sh.alias("sh")).transform(
-        persist_tracked
-    )
+    h = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     return simhash_pairs_from_hashes(h, max_hamming, n_tables, max_bucket_size,
                                      key_chunks=key_chunks)
 
@@ -643,26 +716,49 @@ def simhash_pairs_from_hashes(
             )
         ).alias("bb"),
     ).select("id", "sh", "bb.tbl", "bb.blk")
+    # One groupBy per bucket instead of the former size-aggregate + join +
+    # blocked self-join (the plan duplicated the explode + cap subtree per
+    # join branch and sorted both sides): members collect into one sorted
+    # array per bucket — bounded by the cap for every surviving bucket —
+    # and pairs expand in-bucket with id_a < id_b from the sort order.
+    # Over-cap buckets drop exactly as before; their transient agg buffers
+    # ride Spark's sort-based aggregation fallback instead of flowing into
+    # the join.  Same (id_a, id_b, hamming) set (pinned by the exact
+    # all-pairs oracle and test_simhash_blocking_exact_recall).
+    grouped = blocked.groupBy("tbl", "blk").agg(
+        F.count(F.lit(1)).alias("_sz"),
+        F.sort_array(F.collect_list(F.struct("id", "sh"))).alias("ms"),
+    )
     if max_bucket_size is not None:
-        sizes = blocked.groupBy("tbl", "blk").agg(F.count(F.lit(1)).alias("_sz"))
-        blocked = (
-            blocked.join(sizes, ["tbl", "blk"])
-            .filter(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
-        )
-    a, b = blocked.alias("a"), blocked.alias("b")
+        grouped = grouped.filter(F.col("_sz") <= max_bucket_size)
+    # keyed repartition to cluster parallelism — see lsh_candidate_pairs:
+    # the pair expansion is quadratic per bucket; AQE's byte-based
+    # coalescing must not serialize it onto a handful of tasks
+    grouped = grouped.repartition(
+        grouped.sparkSession.sparkContext.defaultParallelism, "tbl", "blk"
+    )
+    n = F.size("ms")
     return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") < F.col("b.id")),
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ms"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ms"), i + F.lit(2), n - i - 1),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                y["id"].alias("id_b"),
+                                F.bit_count(
+                                    x["sh"].bitwiseXOR(y["sh"])
+                                ).alias("hamming"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
-        )
+        .select("p.id_a", "p.id_b", "p.hamming")
         # filter BEFORE distinct: the Hamming test kills ~all candidates,
         # so the dedup aggregation sees survivors only (orders of magnitude
         # fewer rows than candidates at web scale); same result either way
@@ -685,12 +781,59 @@ def _edge_checksum(e: DataFrame) -> tuple:
     return (row["n"], row["h1"], row["h2"])
 
 
+def _cc_local_task(e: DataFrame) -> DataFrame:
+    """Union-find over a bounded edge list inside ONE executor task
+    (mapInPandas on the coalesced frame): (node, component-min) for every
+    node in the edge set — identical output contract to the star loop.
+    One Spark job instead of ~6 shuffle stages per star round."""
+
+    def _uf(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                u, v = int(u), int(v)
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[rv] = ru
+        comp_min: dict[int, int] = {}
+        nodes = list(parent)
+        roots = [find(x) for x in nodes]
+        for x, r in zip(nodes, roots):
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        yield pd.DataFrame(
+            {
+                "node": pd.array(nodes, dtype="int64"),
+                "component": pd.array(
+                    [comp_min[r] for r in roots], dtype="int64"
+                ),
+            }
+        )
+
+    return e.coalesce(1).mapInPandas(_uf, "node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    local_edges_max: int = 5_000_000,
 ) -> DataFrame:
     """Distributed connected components over an undirected edge list via
     alternating large-star / small-star (Kiveris et al. 2014, "Connected
@@ -724,6 +867,21 @@ def connected_components(
         # caller's whole pair-generation DAG per reference in round 1
         .localCheckpoint(eager=True)
     )
+    # Scale-adaptive engine pick (the count reads the checkpoint blocks,
+    # not the caller's DAG): below ``local_edges_max`` edges the whole
+    # clustering runs as union-find in ONE executor task — a few hundred
+    # MB of edges at the 16-byte row, far under task memory — replacing
+    # ~6 shuffle stages per star round (5 rounds on the sf0.1 dup graph)
+    # with one job.  Past the threshold the alternating-star loop below
+    # is the path that scales to graphs no single task can hold.
+    if local_edges_max is not None and e.count() <= local_edges_max:
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["converged"] = True
+            stats["engine"] = "local-union-find"
+        return _cc_local_task(e)
+    if stats is not None:
+        stats["engine"] = "alternating-stars"
 
     def large_star(e: DataFrame) -> DataFrame:
         # symmetrize; every node u connects its LARGER neighbors to the

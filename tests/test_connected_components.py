@@ -41,11 +41,18 @@ def _check(spark, edges):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
     )
-    got = {
+    # both engines: the single-task union-find fast path (default at this
+    # scale) and the alternating-star loop (forced via local_edges_max=0)
+    got_local = {
         r["node"]: r["component"]
         for r in connected_components(df).collect()
     }
-    assert got == expected
+    got_stars = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_edges_max=0).collect()
+    }
+    assert got_local == expected
+    assert got_stars == expected
 
 
 def test_cc_chain(spark):
@@ -65,9 +72,11 @@ def test_cc_stats_and_round_bound(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     stats = {}
     got = {r["node"]: r["component"]
-           for r in connected_components(df, stats=stats).collect()}
+           for r in connected_components(
+               df, stats=stats, local_edges_max=0).collect()}
     assert all(c == 0 for c in got.values()) and len(got) == 256
     assert stats["converged"] is True
+    assert stats["engine"] == "alternating-stars"
     assert 1 <= stats["rounds"] <= math.ceil(math.log2(256) ** 2)
 
 
@@ -78,7 +87,9 @@ def test_cc_unconverged_warns(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     stats = {}
     with pytest.warns(RuntimeWarning, match="iteration budget"):
-        connected_components(df, max_iter=1, stats=stats).collect()
+        connected_components(
+            df, max_iter=1, stats=stats, local_edges_max=0
+        ).collect()
     assert stats["converged"] is False and stats["rounds"] == 1
 
 

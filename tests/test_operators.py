@@ -634,3 +634,35 @@ def test_canonical_url(spark):
     }
     assert groups["https://example.com/A/B?a=1&b=2"][0] == 2
     assert groups["http://example.com"] == (1, "HTTP://Example.com:80/")
+
+
+def test_shingle_set_udf_matches_expression(spark):
+    """The Arrow shingle-set builder (verification-join path) must equal
+    array_distinct(word_shingles(text)) exactly — same split/trim
+    semantics, same first-occurrence order — on the same adversarial
+    inputs the minhash engine-agreement test uses."""
+    from language_detection_spark.operators.dedup import (
+        shingle_set_udf,
+        word_shingles,
+    )
+
+    rows = [
+        (0, ""), (1, "   "), (2, None), (3, "one two"), (4, "a b c"),
+        (5, "a b c d e f g"), (6, "\tlead tab x y"), (7, "tail tab x y\t"),
+        (8, "\x0b vt a b c \x0c"), (9, "a  b   c    d"),
+        (10, "rep rep rep rep rep rep"), (11, "　ideographic space a b"),
+        (12, "héllo wörld 漢字 ünïcode x"), (13, "a\nb\nc\nd\ne"),
+        (14, "dup trio dup trio dup trio dup trio"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (2, 3):
+        got = {
+            r.doc_id: (r.e, r.u)
+            for r in df.select(
+                "doc_id",
+                F.array_distinct(word_shingles(F.col("text"), k)).alias("e"),
+                shingle_set_udf(k)(F.col("text")).alias("u"),
+            ).collect()
+        }
+        for i, (e, u) in got.items():
+            assert list(e or []) == list(u or []), (k, i, e, u)
