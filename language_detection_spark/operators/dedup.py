@@ -1496,27 +1496,43 @@ def incremental_near_dups(
         if len(hashes) <= probe_pushdown_max_hashes:
             store = store.filter(F.col("band_hash").isin(hashes))
     store_banded = store.select("id", "band", "band_hash")
+    # one tagged groupBy per bucket instead of the former combined-size
+    # aggregate + two joins + new-vs-store equi-join (same restructure as
+    # lsh_candidate_pairs): new and store members collect side-by-side,
+    # the combined-size cap filters identically, and candidates expand
+    # in-bucket as the new x store cross.  The keyed repartition keeps
+    # AQE's byte-based coalescing from serializing the expansion.
+    tagged = new_banded.withColumn("_new", F.lit(True)).unionAll(
+        store_banded.withColumn("_new", F.lit(False))
+    )
+    grouped = tagged.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_sz"),
+        F.collect_list(F.when(F.col("_new"), F.col("id"))).alias("nids"),
+        F.collect_list(F.when(~F.col("_new"), F.col("id"))).alias("oids"),
+    )
     if max_bucket_size is not None:
-        sizes = (
-            new_banded.select("band", "band_hash")
-            .unionAll(store_banded.select("band", "band_hash"))
-            .groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_sz"))
-            .filter(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
-        )
-        new_banded = new_banded.join(sizes, ["band", "band_hash"])
-        store_banded = store_banded.join(sizes, ["band", "band_hash"])
+        grouped = grouped.filter(F.col("_sz") <= max_bucket_size)
+    grouped = grouped.repartition(
+        grouped.sparkSession.sparkContext.defaultParallelism,
+        "band", "band_hash",
+    )
     cand = (
-        new_banded.alias("n")
-        .join(
-            store_banded.alias("o"),
-            (F.col("n.band") == F.col("o.band"))
-            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("nids"),
+                        lambda x: F.transform(
+                            F.col("oids"),
+                            lambda y: F.struct(
+                                x.alias("id_new"), y.alias("id_old")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("n.id").alias("id_new"), F.col("o.id").alias("id_old")
-        )
+        .select("p.id_new", "p.id_old")
         .distinct()
     )
     old_sigs = store.select(
