@@ -34,6 +34,7 @@ iterative-loop discipline, same as connected_components).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -103,8 +104,49 @@ def domain_link_stats(outlinks: DataFrame) -> DataFrame:
     )
 
 
+def _pagerank_local_task(e: DataFrame, n_iter: int) -> DataFrame:
+    """The identical integer-exact PageRank recurrence over a bounded
+    edge list inside ONE executor task (numpy int64; floor division on
+    non-negative BIGINT-range values — bit-identical to the distributed
+    loop, pinned by ``test_pagerank_engines_agree``).  One Spark job
+    instead of ~3 jobs per damped iteration."""
+
+    def _pr(batches):
+        import numpy as np
+
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for pdf in batches:
+            srcs.extend(pdf["src"])
+            dsts.extend(pdf["dst"])
+        names = sorted(set(srcs) | set(dsts))
+        ix = {d: i for i, d in enumerate(names)}
+        n = len(names)
+        si = np.fromiter((ix[s] for s in srcs), dtype=np.int64,
+                         count=len(srcs))
+        di = np.fromiter((ix[d] for d in dsts), dtype=np.int64,
+                         count=len(dsts))
+        deg = np.bincount(si, minlength=n).astype(np.int64)
+        init = PR_SCALE // n
+        teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * init // PR_DAMP_DEN
+        ranks = np.full(n, init, dtype=np.int64)
+        dangling_nodes = deg == 0
+        for _ in range(n_iter):
+            mass = int(ranks[dangling_nodes].sum())
+            shares = ranks[si] // deg[si]
+            contrib = np.zeros(n, dtype=np.int64)
+            np.add.at(contrib, di, shares)
+            ranks = teleport + PR_DAMP_NUM * (contrib + mass // n) // PR_DAMP_DEN
+        yield pd.DataFrame(
+            {"domain": names, "rank_pico": pd.array(ranks, dtype="int64")}
+        )
+
+    return e.coalesce(1).mapInPandas(_pr, "domain string, rank_pico bigint")
+
+
 def pagerank_domains(
-    edges: DataFrame, n_iter: int = PR_ITERATIONS
+    edges: DataFrame, n_iter: int = PR_ITERATIONS,
+    local_edges_max: int = 5_000_000,
 ) -> DataFrame:
     """Integer-exact PageRank over distinct (src_domain, dst_domain)
     edges → (domain, rank_pico BIGINT).
@@ -113,12 +155,27 @@ def pagerank_domains(
 
         r'(v) = floor(3 * floor(PR_SCALE / n) / 20)
               + floor(17 * (sum_{u->v} floor(r(u) / outdeg(u)) + D) / 20)
+
+    Engine choice is scale-adaptive (the same pattern as
+    ``connected_components``): up to ``local_edges_max`` distinct edges
+    the whole recurrence runs inside one executor task; past that, the
+    per-iteration shuffle-join loop below scales to graphs no single
+    task can hold.  Both engines are integer-exact, so outputs are
+    bit-identical.
     """
     e = edges.select(
         F.col(edges.columns[0]).alias("src"),
         F.col(edges.columns[1]).alias("dst"),
     ).distinct()
     e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    if n_edges == 0:
+        # empty graph: no nodes, no ranks (formerly ZeroDivisionError)
+        return edges.sparkSession.createDataFrame(
+            [], "domain string, rank_pico bigint"
+        )
+    if local_edges_max is not None and n_edges <= local_edges_max:
+        return _pagerank_local_task(e, n_iter)
     nodes = (
         e.select(F.col("src").alias("domain"))
         .unionAll(e.select(F.col("dst").alias("domain")))

@@ -119,3 +119,25 @@ def test_synth_fixture_has_dangling_hubs(spark):
     assert all(stats[h]["out_links"] == 0 for h in hubs)
     # decoy never extracted
     assert "decoy-7.com" not in stats
+
+
+def test_pagerank_engines_agree(spark):
+    """The single-task fast path (default at this scale) and the
+    per-iteration shuffle-join loop (forced via local_edges_max=0) are
+    both integer-exact and must agree bit-for-bit with the arbiter."""
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("b", "e"), ("x", "x"),  # incl. a self-loop
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {r["domain"]: r["rank_pico"]
+            for r in pagerank_domains(df).collect()}
+    dist = {r["domain"]: r["rank_pico"]
+            for r in pagerank_domains(df, local_edges_max=0).collect()}
+    assert fast == dist == local_pagerank(edges)
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_domains(df).count() == 0
+    assert pagerank_domains(df, local_edges_max=0).count() == 0
