@@ -7,6 +7,7 @@ correctness oracle)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -304,6 +305,53 @@ def word_ngram_hashes(text: Column, n: int) -> Column:
     )
 
 
+def word_ngram_hash_udf(n: int):
+    """Arrow-batched twin of :func:`word_ngram_hashes` — bit-identical
+    values (same ASCII ``\\s+`` split / trim-space semantics as
+    ``dedup.minhash_sig_udf``, same first-15-hex-digits md5 integer),
+    with each DISTINCT gram hashed once per batch.  Catalyst's per-gram
+    md5 → hex-string → conv round trip was the dominant per-row cost of
+    the decontamination and DSIR feature passes; pinned by
+    ``test_word_ngram_hash_udf_matches_expression``."""
+    import hashlib
+    import re
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _hashes(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        out: list[list[int]] = []
+        for t in texts:
+            if t is None:
+                out.append(None)  # expression yields NULL on null text
+                continue
+            if len(t.strip(" ")) == 0:
+                out.append([])
+                continue
+            words = ws_re.split(t.strip(" "))
+            cnt = len(words) - (n - 1)
+            if cnt < 1:
+                out.append([])
+                continue
+            row = []
+            for i in range(cnt):
+                g = " ".join(words[i : i + n])
+                h = cache.get(g)
+                if h is None:
+                    h = int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    cache[g] = h
+                row.append(h)
+            out.append(row)
+        return pd.Series(out)
+
+    return _hashes
+
+
 def decontaminate(train, eval_df, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 8):
     """Test-set decontamination (the GPT-3-style n-gram collision check):
@@ -321,7 +369,10 @@ def decontaminate(train, eval_df, text_col: str = "text",
     broadcast-hash-join → partial/final agg — one shuffle, keyed by the
     doc id.  No reference analogue (classifier library); this is a
     builder-brief training-data operator."""
-    grams = word_ngram_hashes(F.col(text_col), n)
+    # Arrow twin of word_ngram_hashes (bit-identical; distinct grams
+    # hashed once per batch) — the Catalyst per-gram md5 round trip was
+    # this operator's dominant cost
+    grams = word_ngram_hash_udf(n)(F.col(text_col))
     ev = (
         eval_df.select(F.explode(grams).alias("gh")).distinct()
         .withColumn("_hit", F.lit(1))
@@ -514,11 +565,17 @@ def dsir_scores(
     """
     from pyspark.sql import functions as F
 
+    from ..plans.caching import persist_tracked
+
+    # Arrow twin of word_ngram_hashes (bit-identical) — see decontaminate
     feats = F.concat(
-        word_ngram_hashes(F.col(text_col), 1),
-        word_ngram_hashes(F.col(text_col), 2),
+        word_ngram_hash_udf(1)(F.col(text_col)),
+        word_ngram_hash_udf(2)(F.col(text_col)),
     )
-    b = (
+    # persist: the bucket rows feed BOTH the distribution aggregate and
+    # the per-doc scoring join; unpersisted, the feature hashing ran
+    # twice over the corpus
+    b = persist_tracked(
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.col(source_col).alias("source"),
@@ -555,6 +612,10 @@ def dsir_scores(
             F.round(F.avg("lr"), 6).alias("score"),
         )
     )
+    # persist: the quantile-cut broadcast and the final projection both
+    # consume scored (one row per doc); unpersisted, the whole feature →
+    # distribution → scoring chain ran once per consumer
+    scored = persist_tracked(scored)
     cut = scored.agg(
         F.percentile("score", select_quantile).alias("cut")
     )

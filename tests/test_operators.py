@@ -666,3 +666,34 @@ def test_shingle_set_udf_matches_expression(spark):
         }
         for i, (e, u) in got.items():
             assert list(e or []) == list(u or []), (k, i, e, u)
+
+
+def test_word_ngram_hash_udf_matches_expression(spark):
+    """The Arrow n-gram hasher must equal word_ngram_hashes exactly —
+    including NULL text -> NULL array, blank -> [], < n words -> [],
+    occurrence order preserved (no dedup in the output)."""
+    from language_detection_spark.operators.text_analysis import (
+        word_ngram_hash_udf,
+        word_ngram_hashes,
+    )
+
+    rows = [
+        (0, ""), (1, "   "), (2, None), (3, "one two"),
+        (4, "a b c d e f g"), (5, "\tlead tab x y"), (6, "rep rep rep rep"),
+        (7, "a  b   c"), (8, "héllo wörld 漢字 x"), (9, "a\nb\nc"),
+        (10, "\x0b vt a b c \x0c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 8):
+        got = {
+            r.doc_id: (r.e, r.u)
+            for r in df.select(
+                "doc_id",
+                word_ngram_hashes(F.col("text"), n).alias("e"),
+                word_ngram_hash_udf(n)(F.col("text")).alias("u"),
+            ).collect()
+        }
+        for i, (e, u) in got.items():
+            assert (e is None) == (u is None), (n, i)
+            if e is not None:
+                assert list(e) == list(u), (n, i, e, u)
