@@ -1583,11 +1583,13 @@ def exact_substring_dedup(
     everything was removed or the doc was blank).
 
     Scale shape: windows are map-side expressions; the duplicate decision
-    is ONE partial-aggregating groupBy keyed by the window STRING itself
-    (exact-match semantics, no hash-collision caveat — the paper's
-    suffix-array machinery exists to make this cheap on one machine; the
-    distributed shuffle-on-key form is linear and embarrassingly
-    parallel, with ~k-word keys the bounded shuffle-row cost).  Interval
+    is TWO-LEVEL — an 8-byte xxhash64 aggregation over all windows, then
+    exact string resolution for only the occurrences whose hash bucket
+    holds more than one member (true duplicates or hash collisions, both
+    settled by the string groupBy, so semantics keep the paper's
+    exact-match guarantee with no probabilistic caveat) — which cuts the
+    window-text shuffle from ~k x corpus words to the colliding fraction
+    alone.  Interval
     merging is a per-document window (documents are bounded, the corpus
     never sorts globally), and the rebuild joins the token stream against
     the per-doc merged spans — an equi-join on doc id with a range
@@ -1619,14 +1621,38 @@ def exact_substring_dedup(
             ).alias("win"),
         )
     )
-    stats = occ.groupBy("win").agg(
+    # Two-level duplicate decision (shuffle bytes, EXACT semantics):
+    # windows are ~k-word STRINGS, and the former direct groupBy(win) +
+    # join(win) shipped them through two exchanges (~2k x corpus words on
+    # the wire).  Level 1 aggregates the 8-byte xxhash64 of each window —
+    # map-side partial agg, fixed-width keys; only windows whose hash
+    # bucket holds more than one occurrence (true duplicates OR hash
+    # collisions) need exact string resolution.  Level 2 re-groups just
+    # those occurrences by the string itself, so window text crosses the
+    # wire only for the colliding fraction.  Hash collisions between
+    # DISTINCT windows are resolved exactly at level 2 (their string
+    # groups come out cnt=1 → not duplicates), so the result is
+    # identical to the direct string groupBy — no probabilistic caveat.
+    occ_h = occ.withColumn("_h", F.xxhash64("win"))
+    multi_h = (
+        occ_h.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_hcnt"))
+        .filter(F.col("_hcnt") > 1)
+        .select("_h")
+    )
+    # the colliding-hash set is usually small (dup windows are a thin
+    # fraction of a crawl); broadcast it so the occurrence stream is
+    # filtered map-side with no shuffle.  Past the broadcast budget,
+    # fall back to a shuffle semi-join on the 8-byte hash — strings then
+    # cross the wire once instead of twice.
+    if multi_h.limit(10_000_001).count() <= 10_000_000:
+        multi_h = F.broadcast(multi_h)
+    occ_multi = occ_h.join(multi_h, "_h", "left_semi").drop("_h")
+    stats = occ_multi.groupBy("win").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("_id", "pos")).alias("first"),
     )
-    # one pass over the joined occurrences yields BOTH per-doc counters
-    # (window total + dup total) and the dup row set for interval merging
-    # — no second aggregation over the corpus-scale occurrence stream
-    marked = occ.join(stats, "win").select(
+    marked_multi = occ_multi.join(stats, "win").select(
         "_id",
         "pos",
         (
@@ -1637,11 +1663,18 @@ def exact_substring_dedup(
             )
         ).alias("is_dup"),
     )
-    counts = marked.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.col("is_dup").cast("int")).alias("n_dup_windows"),
+    # per-doc window totals never need the strings (plain count by doc);
+    # dup totals come from the resolved colliding fraction only
+    totals_w = occ.groupBy("_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dups_w = marked_multi.groupBy("_id").agg(
+        F.sum(F.col("is_dup").cast("int")).alias("n_dup_windows")
     )
-    dup = marked.filter("is_dup").select("_id", "pos")
+    counts = totals_w.join(dups_w, "_id", "left").select(
+        "_id",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+    )
+    dup = marked_multi.filter("is_dup").select("_id", "pos")
     wdoc = Window.partitionBy("_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
         wdoc.rowsBetween(Window.unboundedPreceding, -1)

@@ -904,6 +904,16 @@ def video_frame_hashes(
                 frames = codecs.decode_avi_frames(raw)
                 idx = sample_frame_indices(len(frames), every_n, max_frames)
                 for i in idx:
+                    if i >= _FRAME_ID_STRIDE:
+                        # frame identity downstream packs media_id*4096 +
+                        # frame_idx; an index past the stride would
+                        # silently collide ids across videos — fail loud
+                        raise ValueError(
+                            f"frame index {i} >= packing stride "
+                            f"{_FRAME_ID_STRIDE}; pass max_frames (or a "
+                            "larger every_n) so sampled indices stay "
+                            "below the stride"
+                        )
                     rows.append((int(mid), int(i)))
                     sampled.append(frames[i])
             decoded = decode_jpeg_batch(sampled) if sampled else []
@@ -952,8 +962,11 @@ def video_near_dup_pairs(
         h, max_hamming=max_hamming, key_chunks=key_chunks,
         max_bucket_size=max_bucket_size, bits=64,
     )
-    va = (F.col("id_a") / _FRAME_ID_STRIDE).cast("long")
-    vb = (F.col("id_b") / _FRAME_ID_STRIDE).cast("long")
+    # integer unpacking (stride is 2^12): exact for all 64-bit packed ids,
+    # unlike float division which breaks silently above 2^53
+    assert _FRAME_ID_STRIDE == 1 << 12
+    va = F.shiftrightunsigned(F.col("id_a"), 12)
+    vb = F.shiftrightunsigned(F.col("id_b"), 12)
     return (
         fp.select(
             F.least(va, vb).alias("id_a"),

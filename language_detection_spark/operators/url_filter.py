@@ -137,7 +137,10 @@ def url_filter(
             F.lower(F.col(blocklist.columns[0])).alias("registered_domain"),
             F.lit(True).alias("blocked_domain"),
         ).dropDuplicates(["registered_domain"])
-        out = out.join(F.broadcast(dim), "registered_domain", "left")
+        # no explicit broadcast hint: Catalyst/AQE broadcasts a small
+        # blocklist on its own, and a UT1-scale (~4.6M-domain) list must
+        # be allowed to fall back to a shuffle join instead of OOMing
+        out = out.join(dim, "registered_domain", "left")
         out = out.withColumn(
             "blocked_domain", F.coalesce(F.col("blocked_domain"), F.lit(False))
         )

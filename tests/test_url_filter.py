@@ -88,11 +88,20 @@ def test_plan_broadcasts_blocklist_no_fact_shuffle(spark):  # noqa: F811
         spark.range(1000).withColumnRenamed("id", "doc_id")
     )
     out = url_filter(urls, blocklist=synth_blocklist(spark))
+    # no explicit broadcast hint anymore (a UT1-scale blocklist must be
+    # allowed to fall back to a shuffle join): AQE picks the strategy at
+    # runtime, so execute first and read the FINAL adaptive plan
+    out.collect()  # materialize so AQE finalizes this QueryExecution
     plan = out._jdf.queryExecution().executedPlan().toString()
+    # adaptive printout appends the pre-AQE "Initial Plan" — judge the
+    # final plan only
+    plan = plan.split("Initial Plan")[0]
+    # the join itself must be broadcast (fact side unshuffled); the only
+    # hash exchange in the plan is the tiny dim's dedup.  (String-order
+    # heuristics on the fact/dim sides don't survive AQE's printout, so
+    # assert join strategy directly.)
     assert "BroadcastHashJoin" in plan
-    # the only Exchange allowed is the broadcast / tiny-dim dedup side
-    fact_side = plan.split("BroadcastExchange")[0]
-    assert "Exchange hashpartitioning" not in fact_side
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_synth_urls_cover_every_rule(spark):  # noqa: F811
