@@ -123,9 +123,10 @@ def test_semantic_dedup_plan_is_cluster_partitioned(spark):
 
 
 def test_dsir_plan_has_no_python_and_broadcasts_distributions(spark):
-    """dsir_scores is pure JVM expressions: no Python UDF evaluation in
-    the plan, and both bucket-distribution joins broadcast (the ≤B-row
-    side never shuffles the doc-scale stream)."""
+    """dsir_scores' feature hashing rides ONE Arrow-vectorized crossing
+    (the round-7 batched twin of the md5 expression chain — never
+    row-pickled BatchEvalPython), and both bucket-distribution joins
+    broadcast (the ≤B-row side never shuffles the doc-scale stream)."""
     df = spark.createDataFrame(
         [(i, "alpha beta gamma", "tgt" if i < 2 else "bg") for i in range(6)],
         "doc_id: long, text: string, source: string",
@@ -133,5 +134,9 @@ def test_dsir_plan_has_no_python_and_broadcasts_distributions(spark):
     plan = dsir_scores(
         df, target_sources=("tgt",), n_buckets=32
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # hashing is Arrow-vectorized; the persisted feature frame makes it a
+    # single runtime evaluation (plan PRINTOUT repeats the cached subtree
+    # under every InMemoryTableScan reference, so no occurrence count)
+    assert "ArrowEvalPython" in plan and "InMemoryTableScan" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
