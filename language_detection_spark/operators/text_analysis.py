@@ -670,7 +670,11 @@ def language_rebalance(
         [(k, int(v)) for k, v in sorted(target_permille.items())],
         f"{lang_col}: string, share_pm: int",
     )
-    counts = (
+    from ..plans.caching import persist_tracked
+
+    # persist the ≤|langs|-row count table: the n_star broadcast and the
+    # rates broadcast each re-ran the corpus aggregation otherwise
+    counts = persist_tracked(
         df.groupBy(lang_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_l"))
         .join(tgt, lang_col)
