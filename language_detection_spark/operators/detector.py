@@ -432,13 +432,35 @@ def _detect_many_from_keys(
 def _batch_keys(texts, max_text_length: int) -> list:
     """Prepared-text gram keys for a batch: normalization/purge per doc
     (string ops), then ONE vectorized extraction pass across all docs
-    (extract_gram_keys_batch — bit-identical per-doc output)."""
-    prepared = [
-        "" if text is None
-        else purge_latin_if_minor(prepare_text(text, max_text_length))
-        for text in texts
-    ]
-    return extract_gram_keys_batch(prepared)
+    (extract_gram_keys_batch — bit-identical per-doc output).
+
+    Both stages are memoized per DISTINCT text within the batch: key
+    extraction is a pure per-doc function, so exact-duplicate documents
+    (boilerplate, re-crawls — and the replicated bench corpus) share one
+    normalization + extraction.  Values are identical by construction;
+    only the per-doc RNG/seed state downstream distinguishes copies."""
+    norm_cache: dict = {}
+    uniq: dict[str, int] = {}
+    order: list[str] = []
+    idx: list[int] = []
+    for text in texts:
+        p = norm_cache.get(text)
+        if p is None:
+            p = (
+                "" if text is None
+                else purge_latin_if_minor(prepare_text(text, max_text_length))
+            )
+            norm_cache[text] = p
+        j = uniq.get(p)
+        if j is None:
+            j = len(order)
+            uniq[p] = j
+            order.append(p)
+        idx.append(j)
+    uk = extract_gram_keys_batch(order)
+    # shared read-only ndarrays: every consumer (lookup, concatenate,
+    # perplexity) only reads the key arrays
+    return [uk[j] for j in idx]
 
 
 def doc_seed(doc_key: str, salt: int = 0) -> int:

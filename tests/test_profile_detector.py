@@ -349,3 +349,22 @@ def test_groupwise_early_exit_bitwise_matches_scalar(tiny_model):
             assert batched[i] is None
         else:
             assert np.array_equal(ref, batched[i]), i
+
+
+def test_batch_keys_duplicate_memo_is_exact():
+    """_batch_keys memoizes per distinct text within a batch; a batch
+    with duplicates must yield the same per-doc key arrays as singleton
+    batches (and duplicates must share identical values)."""
+    import numpy as np
+
+    from language_detection_spark.operators.detector import _batch_keys
+
+    texts = [
+        "the quick brown fox", None, "", "the quick brown fox",
+        "hëllo wörld", "the quick brown fox", "hëllo wörld", "   ",
+    ]
+    batched = _batch_keys(texts, 10000)
+    singles = [_batch_keys([t], 10000)[0] for t in texts]
+    assert len(batched) == len(texts)
+    for b, s in zip(batched, singles):
+        assert np.array_equal(b, s)
